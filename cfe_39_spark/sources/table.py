@@ -1,0 +1,375 @@
+"""SequenceTable — a from-scratch, Parquet-backed table format with Iceberg
+snapshot semantics (SURVEY.md §2.1 S3/S6/S8, §4.2 O2/O3/O4).
+
+No iceberg/delta jars exist in the sandbox and the north rule wants this
+built from scratch anyway (BASELINE.json:14).  The format:
+
+    <root>/
+      metadata/
+        snap-<id>.json      one immutable snapshot descriptor per commit
+        _LATEST             current snapshot id (atomic pointer swap)
+      data/
+        commit-<batch>-<nonce>/_bucket=<b>/part-*.parquet
+
+A snapshot descriptor is self-contained: the full data-file manifest
+(per-file bucket, row count, min/max doc_id, schema version), the schema
+registry (every schema version ever committed), and the batch_id that
+produced it.  Commit = write descriptor, then atomically swap ``_LATEST``.
+
+Exactly-once (SURVEY.md §4.3 layer 1): ``commit`` is **idempotent on
+batch_id** — recommitting a batch_id already in the committed chain is a
+no-op returning the existing snapshot id.  Spark's streaming checkpoint
+replays a crashed micro-batch with the same batchId, so replay-after-crash
+cannot double-apply.  Single-writer per table is assumed (one stream per
+table), as in the reference's one-consumer-group-per-output design.
+
+Scale notes (the 100 TB story):
+  * Key-partitioned layout (O2): every data file belongs to exactly one of
+    ``n_buckets`` hash buckets of ``doc_id`` (pmod(xxhash64(doc_id), B),
+    computed in Spark at write AND at merge planning — one hash function,
+    one source of truth).  MERGE touches only the buckets the batch hashes
+    to, so per-trigger cost is O(touched data), not O(table).
+  * Manifest pruning (O3): per-file min/max doc_id lets the merge planner
+    skip files inside a touched bucket whose key range cannot intersect the
+    batch.  At 10^10 rows this is the difference between rewriting a bucket
+    and rewriting a handful of files.
+  * Snapshot expiry (S8): reachability over retained snapshots, delete
+    orphan data dirs — the TTL-pruning role of the reference ingester.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schema import (
+    BOOKKEEPING_COLS,
+    SEQUENCE_SCHEMA_V1,
+    storage_schema,
+)
+from . import fs
+
+EPOCH0 = "1970-01-01 00:00:00"
+
+
+def bucket_expr(doc_id_col: str, n_buckets: int):
+    """The one true doc_id -> bucket function (computed JVM-side)."""
+    return F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int")
+
+
+def _schema_to_json(schema: T.StructType) -> str:
+    return schema.json()
+
+
+def _schema_from_json(js: str) -> T.StructType:
+    return T.StructType.fromJson(__import__("json").loads(js))
+
+
+def _file_stats(path: str) -> tuple[int, str | None, str | None]:
+    """(rows, min_doc_id, max_doc_id) from the parquet footer.
+
+    Driver-side footer read is fine here: files-per-commit is bounded by
+    touched buckets.  On a real cluster this becomes a Spark-side stat
+    collection over the written-files listing (documented trade-off).
+    """
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    doc_idx = None
+    for i in range(len(md.schema)):
+        if md.schema.column(i).name == "doc_id":
+            doc_idx = i
+            break
+    mn = mx = None
+    if doc_idx is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(doc_idx).statistics
+            if st is None or not st.has_min_max:
+                return rows, None, None
+            lo = st.min if isinstance(st.min, str) else st.min.decode()
+            hi = st.max if isinstance(st.max, str) else st.max.decode()
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+    return rows, mn, mx
+
+
+class SequenceTable:
+    """Handle to one table root.  All metadata ops are driver-side Python;
+    all data ops are Spark DataFrames."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------ #
+    # creation
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        initial: DataFrame | None = None,
+        n_buckets: int = 16,
+        user_schema: T.StructType = SEQUENCE_SCHEMA_V1,
+        schema_version: int = 1,
+    ) -> "SequenceTable":
+        t = cls(root)
+        if fs.exists(os.path.join(t.meta_dir, "_LATEST")):
+            raise ValueError(f"table already exists at {root}")
+        files: list[dict] = []
+        if initial is not None:
+            stamped = (
+                initial.select([F.col(f.name).cast(f.dataType) for f in user_schema.fields])
+                .withColumn("_last_offset", F.lit(-1).cast("long"))
+                .withColumn("_last_event_time", F.lit(EPOCH0).cast("timestamp"))
+                .withColumn("_last_epoch", F.lit(-1).cast("long"))
+                .withColumn("_deleted", F.lit(False))
+            )
+            files = t._write_data_files(stamped, n_buckets, schema_version, batch_tag="init")
+        snap = {
+            "snapshot_id": 1,
+            "parent_id": None,
+            "batch_id": "__create__",
+            "n_buckets": n_buckets,
+            "schema_version": schema_version,
+            "schemas": {str(schema_version): _schema_to_json(user_schema)},
+            "files": files,
+        }
+        fs.write_json_atomic(t._snap_path(1), snap)
+        fs.write_atomic(os.path.join(t.meta_dir, "_LATEST"), "1")
+        return t
+
+    # ------------------------------------------------------------------ #
+    # snapshot metadata
+    # ------------------------------------------------------------------ #
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
+
+    def latest_snapshot_id(self) -> int:
+        return int(fs.read_text(os.path.join(self.meta_dir, "_LATEST")))
+
+    def snapshot(self, sid: int | None = None) -> dict[str, Any]:
+        sid = sid if sid is not None else self.latest_snapshot_id()
+        return fs.read_json(self._snap_path(sid))
+
+    def committed_chain(self) -> list[dict[str, Any]]:
+        """Snapshots reachable from _LATEST via parent links (committed only —
+        a descriptor orphaned by a crash before pointer swap is excluded)."""
+        out = []
+        sid: int | None = self.latest_snapshot_id()
+        while sid is not None:
+            s = self.snapshot(sid)
+            out.append(s)
+            sid = s["parent_id"]
+        return out
+
+    def find_batch(self, batch_id: str) -> int | None:
+        """Snapshot id that committed ``batch_id``, or None (idempotency probe)."""
+        for s in self.committed_chain():
+            if s["batch_id"] == str(batch_id):
+                return s["snapshot_id"]
+        return None
+
+    def user_schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return _schema_from_json(snap["schemas"][str(snap["schema_version"])])
+
+    # ------------------------------------------------------------------ #
+    # data-file IO
+    # ------------------------------------------------------------------ #
+    def _write_data_files(
+        self, df: DataFrame, n_buckets: int, schema_version: int, batch_tag: str
+    ) -> list[dict]:
+        """Write one commit's data files, bucketed by doc_id hash; return
+        their manifest entries.  ``repartition(_bucket)`` then
+        ``partitionBy(_bucket)`` yields ~one file per touched bucket."""
+        nonce = uuid.uuid4().hex[:8]
+        out_dir = os.path.join(self.data_dir, f"commit-{batch_tag}-{nonce}")
+        (
+            df.withColumn("_bucket", bucket_expr("doc_id", n_buckets))
+            .repartition(n_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        entries = []
+        for bdir in fs.listdir(out_dir):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in fs.listdir(os.path.join(out_dir, bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(out_dir, bdir, fn)
+                rows, mn, mx = _file_stats(p)
+                if rows == 0:
+                    continue
+                entries.append(
+                    {
+                        "path": os.path.relpath(p, self.root),
+                        "bucket": b,
+                        "rows": rows,
+                        "min_doc_id": mn,
+                        "max_doc_id": mx,
+                        "schema_version": schema_version,
+                    }
+                )
+        return entries
+
+    # ------------------------------------------------------------------ #
+    # commit (S6) — idempotent on batch_id
+    # ------------------------------------------------------------------ #
+    def commit(
+        self,
+        batch_id: str,
+        new_files: list[dict],
+        carried_files: list[dict],
+        schema_version: int | None = None,
+        new_schema: T.StructType | None = None,
+        lineage: dict | None = None,
+    ) -> int:
+        existing = self.find_batch(str(batch_id))
+        if existing is not None:
+            return existing  # replayed batch: no-op (exactly-once layer 1)
+        parent = self.snapshot()
+        # a crash after descriptor write but before pointer swap leaves an
+        # orphan snap-N.json; never reuse its id
+        taken = [
+            int(f[5:-5]) for f in fs.listdir(self.meta_dir) if f.startswith("snap-")
+        ]
+        sid = max(taken + [parent["snapshot_id"]]) + 1
+        schemas = dict(parent["schemas"])
+        sv = schema_version if schema_version is not None else parent["schema_version"]
+        if new_schema is not None:
+            schemas[str(sv)] = _schema_to_json(new_schema)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "batch_id": str(batch_id),
+            "n_buckets": parent["n_buckets"],
+            "schema_version": sv,
+            "schemas": schemas,
+            "files": carried_files + new_files,
+            "lineage": lineage or {},
+        }
+        fs.write_json_atomic(self._snap_path(sid), snap)
+        fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(sid))
+        return sid
+
+    # ------------------------------------------------------------------ #
+    # reads (S3) with schema reconciliation (C7 read side)
+    # ------------------------------------------------------------------ #
+    def _read_files(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        files: list[dict],
+        user_schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Read manifest entries, reconciling every file group to the
+        snapshot's latest schema — or an explicit ``user_schema`` (the merge
+        pipeline passes the batch's *evolved* schema so old files are
+        null-filled/cast on the fly; Iceberg-style read-side evolution —
+        old files are never rewritten)."""
+        target = storage_schema(user_schema or self.user_schema(snap))
+        if not files:
+            return spark.createDataFrame([], target)
+        by_ver: dict[int, list[str]] = {}
+        for e in files:
+            by_ver.setdefault(e["schema_version"], []).append(
+                os.path.join(self.root, e["path"])
+            )
+        parts = []
+        for ver, paths in sorted(by_ver.items()):
+            src = _schema_from_json(snap["schemas"][str(ver)])
+            have = {f.name for f in src.fields} | set(BOOKKEEPING_COLS)
+            df = spark.read.parquet(*paths)
+            cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in target.fields
+            ]
+            parts.append(df.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_state(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Full internal state (bookkeeping + tombstones included)."""
+        snap = self.snapshot(snapshot_id)
+        return self._read_files(spark, snap, snap["files"])
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """User-facing read: live rows, user columns only."""
+        snap = self.snapshot(snapshot_id)
+        user_cols = [f.name for f in self.user_schema(snap).fields]
+        return (
+            self._read_files(spark, snap, snap["files"])
+            .filter(~F.col("_deleted"))
+            .select(user_cols)
+        )
+
+    def plan_merge_files(
+        self, snap: dict, touched_buckets: set[int], key_bounds: dict[int, tuple[str, str]]
+    ) -> tuple[list[dict], list[dict]]:
+        """Split the manifest into (rewrite, carry) for a MERGE (O3).
+
+        A file is rewritten iff its bucket is touched AND its doc_id
+        min/max range can intersect the batch's key range for that bucket.
+        Everything else is carried into the child snapshot untouched.
+        """
+        rewrite, carry = [], []
+        for e in snap["files"]:
+            b = e["bucket"]
+            if b in touched_buckets:
+                lo, hi = key_bounds.get(b, (None, None))
+                if (
+                    e["min_doc_id"] is None
+                    or lo is None
+                    or not (e["max_doc_id"] < lo or e["min_doc_id"] > hi)
+                ):
+                    rewrite.append(e)
+                    continue
+            carry.append(e)
+        return rewrite, carry
+
+    # ------------------------------------------------------------------ #
+    # maintenance (S8)
+    # ------------------------------------------------------------------ #
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Drop all but the newest ``keep_last`` committed snapshots and
+        delete data directories unreachable from the retained set."""
+        chain = self.committed_chain()
+        keep, drop = chain[:keep_last], chain[keep_last:]
+        live_dirs = {
+            os.path.dirname(os.path.join(self.root, e["path"]))
+            for s in keep
+            for e in s["files"]
+        }
+        live_commit_dirs = {os.path.dirname(d) for d in live_dirs}
+        removed_files = 0
+        for d in fs.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if full not in live_commit_dirs:
+                removed_files += sum(len(fns) for _, _, fns in os.walk(full))
+                fs.remove_tree(full)
+        # orphan descriptors (crash leftovers) + expired ones
+        committed_ids = {s["snapshot_id"] for s in keep}
+        removed_snaps = 0
+        for f in fs.listdir(self.meta_dir):
+            if f.startswith("snap-") and int(f[5:-5]) not in committed_ids:
+                os.unlink(os.path.join(self.meta_dir, f))
+                removed_snaps += 1
+        # keep_last snapshots now form the full chain; reparent the oldest
+        if keep:
+            oldest = keep[-1]
+            if oldest["parent_id"] is not None:
+                oldest = dict(oldest, parent_id=None)
+                fs.write_json_atomic(self._snap_path(oldest["snapshot_id"]), oldest)
+        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}

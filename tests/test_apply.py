@@ -1,0 +1,106 @@
+"""End-to-end batch MERGE pipeline vs the pandas oracle (SURVEY.md §7 step 3:
+the minimum slice — load fixture table, apply change batches, read snapshot,
+assert bit-for-bit state equality)."""
+
+import numpy as np
+import pytest
+
+from cfe_39_spark.fixtures import GenConfig, expected_state, gen_events, gen_initial, segment_events, write_fixture
+from cfe_39_spark.operators.cdc import apply_batch
+from cfe_39_spark.sources.table import SequenceTable
+
+from .util import assert_state_equal
+
+
+def _replay(spark, tmp_path, cfg, boundaries=None, n_buckets=8):
+    fx = write_fixture(str(tmp_path / "fx"), cfg, boundaries)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    table = SequenceTable.create(spark, str(tmp_path / "table"), init, n_buckets=n_buckets)
+    import glob
+
+    for i, seg in enumerate(sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    return table, fx
+
+
+def test_single_batch_insert_update_delete(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=20, n_events=60, n_segments=1, seed=7)
+    table, fx = _replay(spark, tmp_path, cfg)
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=30, n_events=200, n_segments=5, seed=11)
+    table, fx = _replay(spark, tmp_path, cfg)
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_duplicate_delivery_is_noop(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=25, n_events=150, n_segments=4, dup_rate=0.3, seed=13)
+    table, fx = _replay(spark, tmp_path, cfg)
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_reslicing_invariance(spark, tmp_path):
+    """Same events, different segment boundaries => identical final state."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=4, seed=17)
+    t1, fx1 = _replay(spark, tmp_path / "a", cfg)
+    t2, fx2 = _replay(spark, tmp_path / "b", cfg, boundaries=[10, 30, 35, 90, 100])
+    assert_state_equal(t1.read(spark), fx1["expected"])
+    assert_state_equal(t2.read(spark), fx1["expected"])
+
+
+def test_out_of_order_and_shuffled(spark, tmp_path):
+    cfg = GenConfig(
+        n_docs_initial=20, n_events=150, n_segments=3,
+        shuffle_within_segments=True, seed=19,
+    )
+    table, fx = _replay(spark, tmp_path, cfg)
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_hot_key_skew(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=100, n_events=300, n_segments=3, key_dist="hot", seed=23)
+    table, fx = _replay(spark, tmp_path, cfg)
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+@pytest.mark.parametrize("strategy", ["salted_window", "max_by"])
+def test_lww_strategies_agree(spark, tmp_path, strategy):
+    cfg = GenConfig(n_docs_initial=15, n_events=100, n_segments=2, seed=29)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    table = SequenceTable.create(spark, str(tmp_path / f"t-{strategy}"), init, n_buckets=4)
+    import glob
+
+    for i, seg in enumerate(sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i, lww_strategy=strategy)
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_batch_idempotency_on_reapply(spark, tmp_path):
+    """Re-applying an already-committed batch_id is a no-op (exactly-once layer 1)."""
+    cfg = GenConfig(n_docs_initial=10, n_events=40, n_segments=2, seed=31)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    table = SequenceTable.create(spark, str(tmp_path / "table"), init, n_buckets=4)
+    import glob
+
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    sid = table.latest_snapshot_id()
+    r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    assert r.noop and table.latest_snapshot_id() == sid
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_tokens_stay_int32(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=10, n_events=30, n_segments=1, seed=37)
+    table, fx = _replay(spark, tmp_path, cfg)
+    field = dict((f.name, f.dataType.simpleString()) for f in table.read(spark).schema.fields)
+    assert field["tokens"] == "array<int>"
+    row = table.read(spark).filter("tokens is not null").first()
+    assert np.asarray(row["tokens"]).dtype in (np.int32, np.dtype("int32")) or all(
+        isinstance(t, int) for t in row["tokens"]
+    )
