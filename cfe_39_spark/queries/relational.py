@@ -1,0 +1,576 @@
+"""Relational operator surface (SURVEY.md §2.3 R1-R24), one oracle-checked
+query per operator family over the driver's TPC-H-ish testdata.
+
+All queries are pure DataFrame plans — Catalyst handles pushdown, pruning
+and join-strategy selection (SURVEY.md §4.1); tests assert the physical
+plan properties (PushedFilters, broadcast, TakeOrderedAndProject) at
+sf0.001 so a regression that silently de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .base import register, table
+
+
+# ------------------------------------------------------------------ #
+# R1 scan + projection  /  R2 filter pushdown
+# ------------------------------------------------------------------ #
+@register(
+    "r01_scan_projection",
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem""",
+)
+def r01(spark, sf):
+    """R1: column-pruned scan — ReadSchema must show exactly 3 columns."""
+    return table(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@register(
+    "r02_filter_pushdown",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         AND l_shipdate <  TIMESTAMP '1996-01-01'
+         AND l_returnflag IN ('A', 'R')
+         AND l_quantity > 25""",
+)
+def r02(spark, sf):
+    """R2: conjunctive predicates — all pushed to the parquet scan."""
+    li = table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_quantity") > 25)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ------------------------------------------------------------------ #
+# R3/R4 equi-joins (broadcast + sort-merge)
+# ------------------------------------------------------------------ #
+@register(
+    "r03_broadcast_join",
+    """SELECT p.p_brand,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              ROUND(sum(l.l_extendedprice), 2) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def r03(spark, sf):
+    """R3: fact ⋈ small dim — explicit broadcast() hint; at 100 TB the dim
+    still fits in memory, so this never shuffles the fact side."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "r04_sortmerge_join",
+    """SELECT o.o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderpriority""",
+)
+def r04(spark, sf):
+    """R4: large-large equi-join — sort-merge/shuffled-hash territory; both
+    sides shuffle on the join key once, AQE coalesces the result."""
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# R5 theta/range join, R6 as-of join
+# ------------------------------------------------------------------ #
+@register(
+    "r05_range_join",
+    """SELECT a.event_type,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts > a.ts
+        AND b.ts <= a.ts + INTERVAL 5 MINUTE
+       GROUP BY a.event_type""",
+)
+def r05(spark, sf):
+    """R5: banded self range-join — equi key (user_id) carries the shuffle,
+    the time band is a post-join residual, so this is NOT a nested-loop."""
+    e = table(spark, sf, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "r06_asof_join",
+    """SELECT o_orderkey, event_id AS last_event_id, event_type AS last_event_type
+       FROM (
+         SELECT o.o_orderkey, e.event_id, e.event_type,
+                row_number() OVER (
+                  PARTITION BY o.o_orderkey
+                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+         FROM orders o JOIN events e
+           ON e.user_id = o.o_custkey
+          AND e.ts <= o.o_orderdate + INTERVAL 29 YEAR
+       ) WHERE rn = 1""",
+)
+def r06(spark, sf):
+    """R6: as-of join — latest event per (order, shifted cutoff).
+    Composition: equi-join on key + row_number over event-time (SURVEY.md
+    §2.3 R6).  The +29y shift aligns the 1995-2001 order dates with the
+    2024 event window so the cutoff bites mid-stream."""
+    o = table(spark, sf, "orders")
+    e = table(spark, sf, "events")
+    cutoff = F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")
+    j = o.join(e, (e.user_id == o.o_custkey) & (e.ts <= cutoff))
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_orderkey",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# R7/R8/R9 semi / anti / outer joins
+# ------------------------------------------------------------------ #
+@register(
+    "r07_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def r07(spark, sf):
+    """R7: left-semi — customers with at least one order."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "r08_anti_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)""",
+)
+def r08(spark, sf):
+    """R8: left-anti — customers with no order above 300k."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "r09_outer_join",
+    """SELECT o.o_orderkey,
+              CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+              ROUND(coalesce(sum(l.l_extendedprice), 0), 2) AS revenue
+       FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderkey""",
+)
+def r09(spark, sf):
+    """R9: left-outer join preserving orders with zero lineitems."""
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0)), 2).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# R10 hash agg (TPC-H Q1 shape), R11 distinct, R12 rollup
+# ------------------------------------------------------------------ #
+@register(
+    "r10_hashagg_q1",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(sum(l_quantity), 2)                                    AS sum_qty,
+              ROUND(sum(l_extendedprice), 2)                               AS sum_base_price,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+              ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              ROUND(avg(l_quantity), 4)                                    AS avg_qty,
+              ROUND(avg(l_extendedprice), 4)                               AS avg_price,
+              ROUND(avg(l_discount), 4)                                    AS avg_disc,
+              CAST(count(*) AS BIGINT)                                     AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def r10(spark, sf):
+    """R10: TPC-H Q1 — partial+final HashAggregate, map-side combine."""
+    li = table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "r11_distinct",
+    """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+              CAST(count(*) AS BIGINT)                  AS n_rows
+       FROM lineitem""",
+)
+def r11(spark, sf):
+    """R11: exact count-distinct (expand+two-phase agg under the hood)."""
+    li = table(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "r12_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag, l_linestatus) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              ROUND(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def r12(spark, sf):
+    """R12: rollup with grouping_id — partial aggregates at every level."""
+    li = table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+# ------------------------------------------------------------------ #
+# R13/R14/R15 window functions
+# ------------------------------------------------------------------ #
+@register(
+    "r13_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+       FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+       ) WHERE rn = 1""",
+)
+def r13(spark, sf):
+    """R13: ranking window — top order per customer (deterministic tiebreak)."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "r14_window_lag",
+    """SELECT o_custkey, o_orderkey,
+              CAST(date_diff('day',
+                lag(o_orderdate) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+       FROM orders""",
+)
+def r14(spark, sf):
+    """R14: analytic window — gap in days between consecutive orders."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "r15_window_frame",
+    """SELECT o_custkey, o_orderkey,
+              ROUND(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_spend
+       FROM orders""",
+)
+def r15(spark, sf):
+    """R15: explicit rowsBetween frame — running revenue per customer."""
+    o = table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# R16 top-k, R17 set ops
+# ------------------------------------------------------------------ #
+@register(
+    "r16_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def r16(spark, sf):
+    """R16: orderBy+limit — Spark plans TakeOrderedAndProject (true top-k,
+    per-partition heaps, no global sort)."""
+    o = table(spark, sf, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "r17_set_ops",
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""",
+)
+def r17(spark, sf):
+    """R17: INTERSECT — customers ordering in both 1995 and 1996."""
+    o = table(spark, sf, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+# ------------------------------------------------------------------ #
+# R18 string, R19 datetime, R20 math
+# ------------------------------------------------------------------ #
+@register(
+    "r18_string_funcs",
+    """SELECT p_partkey,
+              upper(split_part(p_type, ' ', 1)) AS grade,
+              lower(split_part(p_type, ' ', -1)) AS finish,
+              CAST(length(p_name) AS INT) AS name_len,
+              regexp_extract(p_brand, '[0-9]+') AS brand_num,
+              concat_ws('/', p_brand, trim(p_type)) AS brand_type
+       FROM part""",
+)
+def r18(spark, sf):
+    """R18: string kitchen-sink — split/upper/lower/length/regexp/concat."""
+    p = table(spark, sf, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.upper(words.getItem(0)).alias("grade"),
+        F.lower(F.element_at(words, -1)).alias("finish"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"[0-9]+", 0).alias("brand_num"),
+        F.concat_ws("/", F.col("p_brand"), F.trim(F.col("p_type"))).alias("brand_type"),
+    )
+
+
+@register(
+    "r19_datetime",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+              CAST(year(o_orderdate) AS INT) AS order_year,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              ROUND(sum(o_totalprice), 2) AS month_revenue
+       FROM orders
+       GROUP BY 1, 2""",
+)
+def r19(spark, sf):
+    """R19: date_trunc/year bucketing — monthly order rollup."""
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+        )
+    )
+
+
+@register(
+    "r20_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net,
+              ROUND(sqrt(l_quantity), 4) AS sqrt_qty,
+              ROUND(ln(l_extendedprice), 4) AS ln_price,
+              ROUND(pow(1 + l_tax, 2), 6) AS tax_sq,
+              CAST(abs(l_quantity - 25) AS DOUBLE) AS qty_dev,
+              CAST(((l_orderkey * 2654435761 % 64) + 64) % 64 AS BIGINT) AS salt
+       FROM lineitem WHERE l_orderkey % 100 = 0""",
+)
+def r20(spark, sf):
+    """R20: math surface incl. the multiplicative-hash salting demo used by
+    the CDC engine's skew machinery (SURVEY.md §2.2 C3)."""
+    li = table(spark, sf, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        # floor-based cent rounding: bit-identical across engines on the same
+        # double input, unlike ROUND whose half-up base differs (Java
+        # shortest-decimal vs binary value)
+        (
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+            / 100
+        ).alias("net"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        F.pmod(F.col("l_orderkey") * 2654435761, F.lit(64)).cast("long").alias("salt"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# R21 arrays (higher-order), R22 maps, R23 JSON, R24 conditional
+# ------------------------------------------------------------------ #
+@register(
+    "r21_array_funcs",
+    """SELECT o_orderkey,
+              CAST(len(ks) AS INT) AS n_items,
+              CAST(len(list_filter(ks, x -> x % 2 = 0)) AS INT) AS n_even,
+              CAST(list_sum(list_transform(ks, x -> x * x)) AS BIGINT) AS sum_sq,
+              CAST(ks[1] AS BIGINT) AS first_item,
+              CAST(list_max(ks) AS BIGINT) AS max_item
+       FROM (
+         SELECT o_orderkey, range(o_orderkey % 7 + 1) AS ks FROM orders
+       )""",
+)
+def r21(spark, sf):
+    """R21: higher-order array functions (transform/filter/aggregate) —
+    all JVM-side, same kernels the token pipeline uses (C8)."""
+    o = table(spark, sf, "orders")
+    ks = F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 7)
+    return o.select(
+        "o_orderkey",
+        F.size(ks).alias("n_items"),
+        F.size(F.filter(ks, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.transform(ks, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.element_at(ks, 1).alias("first_item"),
+        F.array_max(ks).alias("max_item"),
+    )
+
+
+@register("r22_map_funcs", None)  # map literals stringify differently per engine
+def r22(spark, sf):
+    """R22: map functions (rows-only check) — build a map per order, read it
+    back via element_at / map_keys."""
+    o = table(spark, sf, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.map_contains_key(m, "prio").alias("has_prio"),
+    )
+
+
+@register(
+    "r23_json_funcs",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+       FROM events""",
+)
+def r23(spark, sf):
+    """R23: JSON extraction from the events.props payload column."""
+    e = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))
+
+
+@register(
+    "r24_conditional",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 200000 THEN 'high'
+                   WHEN o_totalprice > 100000 THEN 'mid'
+                   ELSE 'low' END AS price_band,
+              coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+              (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_final
+       FROM orders""",
+)
+def r24(spark, sf):
+    """R24: when/otherwise, coalesce, nullif, null-safe equality — the same
+    expression shapes as the CDC LWW tiebreak (SURVEY.md §2.3 R24)."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.col("o_orderstatus").eqNullSafe("F").alias("is_final"),
+    )
