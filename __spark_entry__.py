@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC replay end-to-end (fixture → MERGE
+pipeline → snapshot read) on sf0.001-scale data; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline packs (text, dedup, similarity, multimodal) —
+one DuckDB-checkable entry each, registered in ``cfe_39_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cfe_39_spark.queries import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC engine's full replay path (SURVEY.md §3.3) —
+    deterministic change-event fixture applied batch-by-batch through the
+    dedup → LWW → idempotency-filter → MERGE → snapshot-commit pipeline,
+    returning the final table state with JVM-side token checksums."""
+    return REGISTRY["cdc10_engine_replay"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data packs).  Each callable takes (spark, sf_dir)."""
+    return {name: q.fn for name, q in sorted(REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; non-SQL-expressible ops (engine
+    replay, pandas-UDF kernels, map output) are omitted → rows-only check."""
+    return {name: q.sql for name, q in sorted(REGISTRY.items()) if q.sql is not None}

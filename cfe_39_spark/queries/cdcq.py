@@ -1,0 +1,292 @@
+"""CDC operator semantics as oracle-checkable queries (SURVEY.md §2.2),
+expressed over the driver's ``events`` table: each of the engine's hot-path
+operators (dedup, LWW, salting, idempotency filter, MERGE resolution,
+offset progress, windows) demonstrated as a standalone declarative plan the
+DuckDB oracle can replay.  The engine itself (table format + commit
+protocol) runs in ``cdc10_engine_replay`` with the rows-only check — its
+bit-for-bit verification lives in the pytest replay suite.
+
+Event mapping: user_id = key (doc_id), event_id = offset, ts = event_time,
+event_type 'error' = tombstone (op = D).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import Window, functions as F
+
+from .base import register, table
+
+MID = "2024-01-16 00:00:00"  # state/batch split for the MERGE demos
+
+
+@register(
+    "cdc01_lww_latest_state",
+    """SELECT user_id, event_id AS last_offset, event_type AS last_op_type, value AS last_value
+       FROM events
+       QUALIFY row_number() OVER (
+         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+)
+def cdc01(spark, sf):
+    """C2: last-writer-wins per key via row_number over (event_time,
+    offset) — the engine's conflict-resolution rule, verbatim."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_offset"),
+            F.col("event_type").alias("last_op_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "cdc02_dedup_counts",
+    """SELECT user_id, event_type,
+              CAST(count(*) AS BIGINT) AS deliveries,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_offsets
+       FROM events GROUP BY 1, 2""",
+)
+def cdc02(spark, sf):
+    """C1: (key, offset) dedup accounting — deliveries vs distinct offsets
+    per key; in the engine dropDuplicates collapses the difference."""
+    e = table(spark, sf, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("deliveries"),
+        F.countDistinct("event_id").alias("distinct_offsets"),
+    )
+
+
+@register(
+    "cdc03_offset_progress",
+    """SELECT CAST(user_id % 8 AS BIGINT) AS src_partition,
+              CAST(min(event_id) AS BIGINT) AS min_offset,
+              CAST(max(event_id) AS BIGINT) AS max_offset,
+              CAST(count(*) AS BIGINT) AS events_in
+       FROM events GROUP BY 1""",
+)
+def cdc03(spark, sf):
+    """C6: per-source-partition offset progress — the lineage record the
+    sink emits every micro-batch (S5)."""
+    e = table(spark, sf, "events")
+    return e.groupBy((F.col("user_id") % 8).alias("src_partition")).agg(
+        F.min("event_id").alias("min_offset"),
+        F.max("event_id").alias("max_offset"),
+        F.count(F.lit(1)).alias("events_in"),
+    )
+
+
+@register(
+    "cdc04_salted_twophase_agg",
+    """SELECT event_type,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS total_cents,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
+def cdc04(spark, sf):
+    """C3/O1: two-phase salted aggregation — phase 1 reduces per (key,
+    salt) so a hot key spreads over 16 tasks, phase 2 folds the ≤16
+    partials.  Integer cents make the result exactly order-independent;
+    the oracle is the single-phase SUM, proving salting preserves
+    semantics."""
+    e = table(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    salt = F.pmod(F.col("event_id") * 2654435761, F.lit(16))
+    p1 = (
+        e.select("event_type", cents.alias("cents"), salt.alias("salt"))
+        .groupBy("event_type", "salt")
+        .agg(F.sum("cents").alias("c"), F.count(F.lit(1)).alias("n"))
+    )
+    return p1.groupBy("event_type").agg(
+        F.sum("c").alias("total_cents"), F.sum("n").cast("long").alias("n")
+    )
+
+
+@register(
+    "cdc05_merge_lww_tombstones",
+    """SELECT user_id, event_id AS last_offset, event_type AS final_type
+       FROM events
+       QUALIFY row_number() OVER (
+         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+       ORDER BY user_id""",
+)
+def cdc05(spark, sf):
+    """C5: the MERGE resolution itself — split the log at MID into a
+    committed state and an incoming batch, full-outer join on key, batch
+    wins where present (it is strictly newer).  The oracle folds the whole
+    log in one LWW pass: equality proves merge-of-slices ≡ fold-of-log,
+    the invariance the replay tests generalize.  Tombstones ('error')
+    survive as rows here; the engine variant filters them at read."""
+    e = table(spark, sf, "events")
+
+    def lww(df):
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    state = lww(e.filter(F.col("ts") < MID)).select(
+        F.col("user_id").alias("s_user"), F.col("event_id").alias("s_off"),
+        F.col("event_type").alias("s_type"),
+    )
+    batch = lww(e.filter(F.col("ts") >= MID)).select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_off"),
+        F.col("event_type").alias("b_type"),
+    )
+    merged = state.join(batch, state.s_user == batch.b_user, "full_outer")
+    return merged.select(
+        F.coalesce("b_user", "s_user").alias("user_id"),
+        F.coalesce("b_off", "s_off").alias("last_offset"),
+        F.coalesce("b_type", "s_type").alias("final_type"),
+    )
+
+
+@register(
+    "cdc06_idempotency_filter",
+    """WITH applied AS (
+         SELECT user_id, max(event_id) AS last_offset FROM events
+         WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+       incoming AS (
+         SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+       SELECT i.user_id,
+              CAST(count(*) FILTER (WHERE i.event_id > coalesce(a.last_offset, -1))
+                   AS BIGINT) AS n_apply,
+              CAST(count(*) FILTER (WHERE i.event_id <= coalesce(a.last_offset, -1))
+                   AS BIGINT) AS n_skip
+       FROM incoming i LEFT JOIN applied a ON a.user_id = i.user_id
+       GROUP BY i.user_id""",
+)
+def cdc06(spark, sf):
+    """C4: offset-monotonicity idempotency filter — incoming events apply
+    iff offset > the key's stored _last_offset; redelivery is a no-op."""
+    e = table(spark, sf, "events")
+    applied = (
+        e.filter(F.col("ts") < MID)
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("last_offset"))
+        .withColumnRenamed("user_id", "a_user")
+    )
+    inc = e.filter(F.col("ts") >= MID)
+    j = inc.join(applied, inc.user_id == applied.a_user, "left")
+    applies = F.col("event_id") > F.coalesce(F.col("last_offset"), F.lit(-1))
+    return j.groupBy("user_id").agg(
+        F.sum(F.when(applies, 1).otherwise(0)).cast("long").alias("n_apply"),
+        F.sum(F.when(applies, 0).otherwise(1)).cast("long").alias("n_skip"),
+    )
+
+
+@register(
+    "cdc07_schema_reconcile",
+    """SELECT event_id, user_id, CAST(floor(value) AS DOUBLE) AS value,
+              NULL AS event_type, 1 AS schema_version
+       FROM events WHERE event_id % 2 = 0
+       UNION ALL
+       SELECT event_id, user_id, value, event_type, 2 AS schema_version
+       FROM events WHERE event_id % 2 = 1""",
+)
+def cdc07(spark, sf):
+    """C7 read-side: reconcile files written under different schema
+    versions — v1 rows (int-quantized value, no event_type) are cast/
+    null-filled up to the v2 struct, exactly as SequenceTable._read_files
+    does per manifest schema group."""
+    e = table(spark, sf, "events")
+    v1 = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("double").alias("value"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(1).alias("schema_version"),
+    )
+    v2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type", F.lit(2).alias("schema_version")
+    )
+    return v1.unionByName(v2)
+
+
+@register(
+    "cdc08_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS window_start,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS total_cents
+       FROM events GROUP BY 1""",
+)
+def cdc08(spark, sf):
+    """T2: tumbling event-time window aggregation (the batch shape of the
+    streaming throughput metric); F.window == date_trunc for aligned
+    1-hour tumbles."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "cdc09_session_window",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events)
+       SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+       FROM g GROUP BY user_id""",
+)
+def cdc09(spark, sf):
+    """T4: session windows (30-min gap) per key — Spark's session_window
+    against the oracle's gaps-and-islands fold."""
+    e = table(spark, sf, "events")
+    sess = e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sess.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+
+
+@register("cdc10_engine_replay", None)
+def cdc10(spark, sf):
+    """The engine itself, end-to-end (rows-only check; bit-for-bit equality
+    vs the pandas oracle is pytest's job): deterministic fixture → create
+    table → apply every segment through the full C1-C8 pipeline → read the
+    final snapshot.  Token arrays are reduced to JVM-side checksums so the
+    result schema is hash-stable."""
+    from ..fixtures import GenConfig, write_fixture
+    from ..functions.tokens import token_sum_expr
+    from ..operators.cdc import apply_batch
+    from ..sources.table import SequenceTable
+
+    d = tempfile.mkdtemp(prefix="cfe39-replay-")
+    write_fixture(
+        f"{d}/fx",
+        GenConfig(
+            n_docs_initial=80,
+            n_events=400,
+            n_segments=4,
+            dup_rate=0.10,
+            key_dist="hot",
+            shuffle_within_segments=True,
+            seed=7,
+        ),
+    )
+    t = SequenceTable.create(
+        spark, f"{d}/table", spark.read.parquet(f"{d}/fx/initial.parquet"), n_buckets=8
+    )
+    for i, seg in enumerate(sorted(glob.glob(f"{d}/fx/segments/*.parquet"))):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+    state = t.read(spark)
+    return state.select(
+        "doc_id",
+        "n_tok",
+        "source",
+        token_sum_expr("tokens").alias("token_checksum"),
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table (task brief: ANN over an
+embedding column — brute-force cosine top-k baseline, LSH/IVF scale paths).
+
+Vector math stays JVM-side: dot products and norms are higher-order
+``zip_with``/``aggregate`` folds over ``array<float>`` cast to double (no
+Python in the hot path).  Cosines are rounded to 6 decimals before any
+ranking/threshold so ordering is reproducible across engines (summation
+order differs by ULPs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .base import register, table
+
+N_PLANES = 8  # hyperplane-LSH signature bits
+N_CELLS = 8  # IVF coarse cells (centroids = first N_CELLS vectors)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """<a, b> as an index-ordered JVM fold (deterministic summation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+# DuckDB mirror: positional unnest zips (vec_id, i, v) rows; dot = Σ v·v
+# grouped by pair.  Same math, same rounding.
+_EX_SQL = """
+  ex AS (SELECT vec_id, unnest(range(1, 65)) AS i, unnest(embedding)::DOUBLE AS v
+         FROM embeddings),
+  nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim01_cosine_topk",
+    f"""WITH {_EX_SQL},
+       dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       sum(a.v * b.v) AS d
+                FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+                WHERE a.vec_id % 50 = 0
+                GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, sim FROM (
+         SELECT query_id, neighbor_id,
+                ROUND(d / (x.n * y.n), 6) AS sim,
+                row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY ROUND(d / (x.n * y.n), 6) DESC, neighbor_id) AS rn
+         FROM dots JOIN nrm x ON x.vec_id = query_id
+                   JOIN nrm y ON y.vec_id = neighbor_id
+       ) WHERE rn <= 3""",
+)
+def sim01(spark, sf):
+    """Brute-force cosine top-k (the exactness baseline): query rows
+    broadcast against the corpus, JVM fold per pair, per-query top-3 via
+    window rank.  At 100 TB this is the verifier for the LSH/IVF paths."""
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    j = F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
+    sims = j.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+@register(
+    "sim02_cosine_neardup",
+    f"""WITH {_EX_SQL},
+       dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS d
+                FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2)
+       SELECT vec_a, vec_b, ROUND(d / (x.n * y.n), 6) AS sim
+       FROM dots JOIN nrm x ON x.vec_id = vec_a JOIN nrm y ON y.vec_id = vec_b
+       WHERE ROUND(d / (x.n * y.n), 6) >= 0.4""",
+)
+def sim02(spark, sf):
+    """Embedding-cosine near-dup pairs (brief: 'embedding-cosine near-dup'):
+    all pairs above threshold.  Exact variant for the oracle; production
+    prunes candidates with the LSH buckets of sim03 first."""
+    e = table(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return j.select("vec_a", "vec_b", sim.alias("sim")).filter(F.col("sim") >= 0.4)
+
+
+def _plane_weight_sql() -> str:
+    # ±1 hyperplane weights from md5(plane '-' dim): public-derivable, both
+    # engines compute identical planes
+    return (
+        "(SELECT p.b AS b, d.i AS i, "
+        " CASE WHEN substr(md5(p.b || '-' || d.i), 1, 1) >= '8' THEN 1 ELSE -1 END AS w"
+        f" FROM (SELECT unnest(range(0, {N_PLANES})) AS b) p,"
+        "      (SELECT unnest(range(1, 65)) AS i) d)"
+    )
+
+
+@register(
+    "sim03_lsh_buckets",
+    f"""WITH {_EX_SQL},
+       planes AS (SELECT * FROM {_plane_weight_sql()}),
+       bits AS (SELECT e.vec_id, p.b,
+                       (sum(p.w * e.v) > 0) AS bit
+                FROM ex e JOIN planes p ON p.i = e.i
+                GROUP BY 1, 2),
+       buckets AS (SELECT vec_id,
+                          CAST(sum(CASE WHEN bit THEN 1 << b ELSE 0 END) AS BIGINT)
+                            AS bucket
+                   FROM bits GROUP BY vec_id)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+       FROM buckets GROUP BY bucket""",
+)
+def sim03(spark, sf):
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 md5-derived
+    ±1 planes → 8-bit signature → bucket.  Search joins query buckets to
+    candidate buckets; cost Σ bucket², never all-pairs."""
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "vf")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v"))
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").cast("int").alias("b"))
+        .crossJoin(spark.range(1, 65).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "b",
+            "i",
+            F.when(
+                F.substring(F.md5(F.concat_ws("-", F.col("b"), F.col("i"))), 1, 1) >= "8", 1
+            )
+            .otherwise(-1)
+            .alias("w"),
+        )
+    )
+    bits = (
+        ex.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "b")
+        .agg((F.sum(F.col("w") * F.col("v")) > 0).alias("bit"))
+    )
+    buckets = bits.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("bit"), F.expr("CAST(shiftleft(1, b) AS BIGINT)")).otherwise(0))
+        .cast("long")
+        .alias("bucket")
+    )
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register("sim04_ivf_topk", None)
+def sim04(spark, sf):
+    """IVF-pruned ANN top-k (rows-only): coarse-quantize every vector to its
+    nearest of N_CELLS centroids (broadcast), then answer each query inside
+    its own cell only — the inverted-file pruning that makes ANN linear-ish
+    at 10^10 vectors.  Recall vs sim01 is asserted in tests."""
+    e = table(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+
+    def assign(df: DataFrame, id_col: str) -> DataFrame:
+        j = df.crossJoin(F.broadcast(cents))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("cell")
+        )
+        return (
+            j.select(df["*"], "cell", cosine(F.col("embedding"), F.col("cv")).alias("csim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn", "csim")
+        )
+
+    assigned = assign(e, "vec_id")
+    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("cell")
+    )
+    cand = assigned.select("vec_id", "embedding", "cell")
+    j = q.join(cand, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    sims = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("embedding")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators for the training-data pipeline (task brief:
+language-ID, quality scoring, token counting, document fingerprinting),
+each oracle-checked over the ``documents`` table.
+
+All hot-path expressions are JVM built-ins (split/regexp/md5/windows);
+the one pandas-UDF variant (rolling-hash fingerprint) demonstrates the
+Arrow path and is rows-only checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from .base import register, table
+
+# marker words per language for the n-gram/keyword heuristic classifier —
+# deterministic on the synthetic corpus (the operator shape is what matters;
+# swap real stopword lists in production)
+LANG_MARKERS = {"de": "row", "en": "table", "es": "scan", "fr": "join", "zh": "hash"}
+
+
+@register(
+    "tx01_token_count",
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+              CAST(n_chars AS BIGINT) AS n_chars,
+              ROUND(length(replace(text, ' ', '')) /
+                    len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len
+       FROM documents""",
+)
+def tx01(spark, sf):
+    """Whitespace tokenization + counts — the cheap token-count pass every
+    corpus pipeline runs before the real (BPE) tokenizer."""
+    d = table(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(words)
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / nw, 4).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+@register(
+    "tx02_quality_score",
+    """WITH f AS (
+         SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                len(regexp_extract_all(text, '[.!?,;]')) AS n_punct,
+                len(regexp_extract_all(text, '\\ba\\b')) AS n_stop,
+                n_chars
+         FROM documents)
+       SELECT doc_id,
+              CAST(n_words AS INT) AS n_words,
+              ROUND(n_punct / n_chars, 6) AS punct_ratio,
+              ROUND(n_stop / n_words, 6) AS stopword_ratio,
+              ROUND(least(n_words / 100.0, 1.0) * 0.6
+                    + least(n_stop / n_words * 5, 1.0) * 0.4, 6) AS quality
+       FROM f""",
+)
+def tx02(spark, sf):
+    """Heuristic quality scoring: length, punctuation density, stopword
+    ratio folded into one [0,1] score (brief: 'quality scoring')."""
+    d = table(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(words)
+    np_ = F.regexp_count(F.col("text"), F.lit(r"[.!?,;]"))
+    ns = F.regexp_count(F.col("text"), F.lit(r"\ba\b"))
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(np_ / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(ns / nw, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.6
+            + F.least(ns / nw * 5, F.lit(1.0)) * 0.4,
+            6,
+        ).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    counts = ",\n".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b')) AS c_{lg}"
+        for lg, w in sorted(LANG_MARKERS.items())
+    )
+    unions = "\n UNION ALL ".join(
+        f"SELECT doc_id, lang, '{lg}' AS cand, c_{lg} AS cnt FROM c"
+        for lg in sorted(LANG_MARKERS)
+    )
+    return f"""WITH c AS (SELECT doc_id, lang, {counts} FROM documents),
+       u AS ({unions})
+       SELECT doc_id, cand AS pred_lang, (cand = lang) AS is_match FROM u
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand) = 1"""
+
+
+@register("tx03_langid", _langid_sql())
+def tx03(spark, sf):
+    """Language-ID by keyword-profile argmax (brief: 'language-ID (n-gram
+    heuristic)'): score each language's marker profile, pick the argmax
+    with a deterministic tiebreak."""
+    d = table(spark, sf, "documents")
+    cands = F.array(
+        *[
+            F.struct(
+                F.regexp_count(F.col("text"), F.lit(rf"\b{w}\b")).alias("cnt"),
+                F.lit(lg).alias("cand"),
+            )
+            for lg, w in sorted(LANG_MARKERS.items())
+        ]
+    )
+    e = d.select("doc_id", "lang", F.explode(cands).alias("s")).select(
+        "doc_id", "lang", F.col("s.cand").alias("cand"), F.col("s.cnt").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("cand"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("cand").alias("pred_lang"), (F.col("cand") == F.col("lang")).alias("is_match"))
+    )
+
+
+@register(
+    "tx04_fingerprint",
+    """SELECT doc_id,
+              md5(lower(trim(text))) AS fp,
+              md5(substr(text, 1, 40)) AS prefix_fp,
+              CAST(count(*) OVER (PARTITION BY md5(substr(text, 1, 40))) AS BIGINT)
+                AS n_same_prefix
+       FROM documents""",
+)
+def tx04(spark, sf):
+    """Document fingerprinting: full-text and prefix (canopy) md5 digests;
+    the prefix window count surfaces duplicate clusters."""
+    d = table(spark, sf, "documents")
+    pfp = F.md5(F.substring("text", 1, 40))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        pfp.alias("prefix_fp"),
+        F.count(F.lit(1)).over(Window.partitionBy(pfp)).alias("n_same_prefix"),
+    )
+
+
+@pandas_udf(T.LongType())
+def _rolling_fp(text: pd.Series) -> pd.Series:
+    """Vectorized polynomial rolling hash over UTF-8 bytes (Arrow-batched;
+    numpy per batch, no per-row Python arithmetic)."""
+    P = np.uint64(1099511628211)
+
+    def _h(s):
+        if s is None:
+            return None
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
+        n = len(b)
+        if n == 0:
+            return 0
+        with np.errstate(over="ignore"):
+            pw = np.ones(n, dtype=np.uint64)
+            pw[1:] = P
+            pw = np.cumprod(pw)  # uint64 wrap-around is the hash ring
+            return int((b * pw).sum(dtype=np.uint64).view(np.int64))
+
+    return text.map(_h).astype("Int64")
+
+
+@register("tx05_rolling_fingerprint", None)
+def tx05(spark, sf):
+    """Rolling-hash fingerprint via pandas UDF (rows-only check — the hash
+    family is engine-private).  Demonstrates the mandated Arrow path."""
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", _rolling_fp(F.col("text")).alias("rolling_fp"))
