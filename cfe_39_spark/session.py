@@ -10,10 +10,22 @@ spark-submit --conf values; nothing in the engine depends on local mode.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+# local mode runs every task inside the driver JVM; the 1g default heap
+# GC-thrashes (and at batch sizes ~GB, OOMs) long before 32 cores are
+# busy, because every concurrent task buffers its shuffle + parquet
+# writer blocks in the same heap.  On a real cluster this is spark-submit
+# --executor-memory instead.
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+# Parquet writer block size: the default 128 MB row-group buffer x 32
+# concurrent write tasks is 4 GB of heap just for writers; our bucketed
+# data files are ~16 MB anyway.  16 MB row groups also keep table scans
+# splittable at high core counts.
+PARQUET_BLOCK = os.environ.get("SPARK_GRAFT_PARQUET_BLOCK", "16777216")
 
 
 def engine_conf(builder: SparkSession.Builder, shuffle_partitions: int | None = None):
@@ -21,6 +33,9 @@ def engine_conf(builder: SparkSession.Builder, shuffle_partitions: int | None = 
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     return (
         builder.config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.driver.memory", DRIVER_MEM)
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.hadoop.parquet.block.size", PARQUET_BLOCK)
         # Arrow-batched Python <-> JVM transfer: required so pandas UDFs /
         # mapInArrow move token arrays columnar, never per-row pickled rows.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -30,6 +45,9 @@ def engine_conf(builder: SparkSession.Builder, shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # token-array rows are ~KB-scale: 32 MB input splits keep a scan
+        # wide enough to use every core even on few large segment files
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # Deterministic timestamps between Spark, pyarrow and the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         # The target table stores tokens as array<int32>; never let parquet
@@ -54,5 +72,60 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    builder = builder.master(master)
+    builder = builder.master(master).config(
+        "spark.driver.extraJavaOptions", _java_opts(master)
+    )
+    exec_opts = _executor_java_opts(master)
+    if exec_opts:
+        builder = builder.config("spark.executor.extraJavaOptions", exec_opts)
+        mc = re.fullmatch(r"local-cluster\[(\d+),(\d+),(\d+)\]", master)
+        if mc:
+            # the third local-cluster field is WORKER memory; executors
+            # default to 1g unless told to use the worker's full grant
+            # (required: the -Xms pre-touch below must not exceed -Xmx)
+            builder = builder.config("spark.executor.memory", f"{mc.group(3)}m")
     return engine_conf(builder, shuffle_partitions).getOrCreate()
+
+
+def _java_opts(master: str) -> str:
+    """JVM options sized to the master's task-thread count.
+
+    A local[N] JVM sees every host CPU and sizes its GC worker pool for
+    all of them (~23 threads on this 32-thread box) even when only N task
+    threads exist — measured 4-5x slowdowns from GC workers trampling the
+    memory bus.  A real cluster never hits this: each executor JVM is
+    launched with its own core count and sizes GC accordingly.  Pinning
+    ParallelGCThreads to N reproduces correct executor behavior in the
+    local-mode proxy.  Override with SPARK_GRAFT_JAVA_OPTS.
+    """
+    env = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if env is not None:
+        return env
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
+    if not m:
+        return ""
+    n = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+    gc = max(2, min(n, 16))
+    # -Xms=-Xmx + AlwaysPreTouch: this hypervisor backs guest pages
+    # lazily at ~40µs/fault single-threaded (≈0.1 GB/s) but pre-touches in
+    # parallel at ~9 GB/s, so faulting the whole heap once at startup
+    # removes multi-second mid-run stalls whenever the heap would grow.
+    return (
+        f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(1, gc // 4)} "
+        f"-Xms{DRIVER_MEM} -XX:+AlwaysPreTouch"
+    )
+
+
+def _executor_java_opts(master: str) -> str:
+    """Same GC-to-cores correction for local-cluster executor JVMs (each
+    one also sees every host CPU).  On a real cluster the resource manager
+    launches executors with the right cpuset and this is unnecessary."""
+    m = re.fullmatch(r"local-cluster\[(\d+),(\d+),(\d+)\]", master or "")
+    if not m:
+        return ""
+    cores, mem_mb = int(m.group(2)), int(m.group(3))
+    gc = max(2, min(cores, 16))
+    return (
+        f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(1, gc // 4)} "
+        f"-Xms{mem_mb}m -XX:+AlwaysPreTouch"
+    )

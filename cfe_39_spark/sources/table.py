@@ -61,6 +61,28 @@ def bucket_expr(doc_id_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int")
 
 
+def lww_resolve(df: DataFrame) -> DataFrame:
+    """Collapse a multi-version row set (base + merge-on-read deltas) to one
+    winner per doc_id by the engine's single ordering rule: max
+    (_last_event_time, _last_offset).  One hash aggregation with map-side
+    partial combine — a hot key collapses per map task before the shuffle,
+    so resolution inherits the skew story of the write path."""
+    cols = df.columns
+    packed = F.max_by(
+        F.struct(*[F.col(c) for c in cols]),
+        F.struct("_last_event_time", "_last_offset"),
+    )
+    return (
+        df.groupBy("doc_id")
+        .agg(packed.alias("_w"))
+        .select([F.col(f"_w.{c}").alias(c) for c in cols])
+    )
+
+
+def has_deltas(files: list[dict]) -> bool:
+    return any(e.get("kind", "base") == "delta" for e in files)
+
+
 def _schema_to_json(schema: T.StructType) -> str:
     return schema.json()
 
@@ -183,7 +205,12 @@ class SequenceTable:
     # data-file IO
     # ------------------------------------------------------------------ #
     def _write_data_files(
-        self, df: DataFrame, n_buckets: int, schema_version: int, batch_tag: str
+        self,
+        df: DataFrame,
+        n_buckets: int,
+        schema_version: int,
+        batch_tag: str,
+        kind: str = "base",
     ) -> list[dict]:
         """Write one commit's data files, bucketed by doc_id hash; return
         their manifest entries.  ``repartition(_bucket)`` then
@@ -216,6 +243,7 @@ class SequenceTable:
                         "min_doc_id": mn,
                         "max_doc_id": mx,
                         "schema_version": schema_version,
+                        "kind": kind,
                     }
                 )
         return entries
@@ -299,18 +327,23 @@ class SequenceTable:
         return out
 
     def read_state(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self, spark: SparkSession, snapshot_id: int | None = None, resolve: bool = True
     ) -> DataFrame:
-        """Full internal state (bookkeeping + tombstones included)."""
+        """Full internal state (bookkeeping + tombstones included).  When
+        the snapshot carries merge-on-read delta files, rows are LWW-
+        resolved to one winner per key (Iceberg-v2-style read path)."""
         snap = self.snapshot(snapshot_id)
-        return self._read_files(spark, snap, snap["files"])
+        df = self._read_files(spark, snap, snap["files"])
+        if resolve and has_deltas(snap["files"]):
+            df = lww_resolve(df)
+        return df
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """User-facing read: live rows, user columns only."""
         snap = self.snapshot(snapshot_id)
         user_cols = [f.name for f in self.user_schema(snap).fields]
         return (
-            self._read_files(spark, snap, snap["files"])
+            self.read_state(spark, snapshot_id)
             .filter(~F.col("_deleted"))
             .select(user_cols)
         )
@@ -338,6 +371,48 @@ class SequenceTable:
                     continue
             carry.append(e)
         return rewrite, carry
+
+    # ------------------------------------------------------------------ #
+    # maintenance: merge-on-read compaction
+    # ------------------------------------------------------------------ #
+    def delta_file_counts(self, snap: dict | None = None) -> dict[int, int]:
+        """Delta files per bucket — the read-amplification gauge."""
+        snap = snap or self.snapshot()
+        out: dict[int, int] = {}
+        for e in snap["files"]:
+            if e.get("kind", "base") == "delta":
+                out[e["bucket"]] = out.get(e["bucket"], 0) + 1
+        return out
+
+    def compact(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> int | None:
+        """Rewrite the given buckets (default: every bucket holding deltas)
+        as LWW-resolved base files and drop their deltas — the background
+        job that keeps merge-on-read read amplification bounded.  Commit is
+        idempotent on the parent snapshot id; tombstones are retained (they
+        carry the _last_offset watermark that keeps late redeliveries
+        no-ops)."""
+        snap = self.snapshot()
+        with_deltas = set(self.delta_file_counts(snap))
+        buckets = sorted(with_deltas if buckets is None else set(buckets) & with_deltas)
+        if not buckets:
+            return None
+        target = [e for e in snap["files"] if e["bucket"] in set(buckets)]
+        rest = [e for e in snap["files"] if e["bucket"] not in set(buckets)]
+        resolved = lww_resolve(self._read_files(spark, snap, target))
+        new_files = self._write_data_files(
+            resolved,
+            snap["n_buckets"],
+            snap["schema_version"],
+            batch_tag=f"compact{snap['snapshot_id']}",
+        )
+        return self.commit(
+            f"__compact__-{snap['snapshot_id']}",
+            new_files,
+            rest,
+            lineage={"compacted_buckets": buckets},
+        )
 
     # ------------------------------------------------------------------ #
     # maintenance (S8)

@@ -1,0 +1,91 @@
+"""Merge-on-read specifics: delta accumulation, read-time resolution,
+compaction, COW-over-MOR interop, auto-compaction, expiry (SURVEY.md §2.1
+S3/S6/S8, §4.2 O2/O3)."""
+
+import glob
+
+from cfe_39_spark.fixtures import GenConfig, write_fixture
+from cfe_39_spark.operators.cdc import apply_batch
+from cfe_39_spark.sources.table import SequenceTable
+
+from .util import assert_state_equal
+
+
+def _fixture(spark, tmp_path, cfg):
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    table = SequenceTable.create(spark, str(tmp_path / "table"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    return table, fx, segs
+
+
+def test_mor_compact_preserves_state(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=25, n_events=150, n_segments=4, dup_rate=0.2, seed=51)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    assert table.delta_file_counts(), "MOR replay should leave delta files"
+    n_files_before = len(table.snapshot()["files"])
+    sid = table.compact(spark)
+    assert sid is not None
+    assert table.delta_file_counts() == {}
+    assert len(table.snapshot()["files"]) < n_files_before
+    assert_state_equal(table.read(spark), fx["expected"])
+    # compaction is idempotent on the (now-changed) parent: second call is a no-op
+    assert table.compact(spark) is None
+
+
+def test_cow_mode_matches_oracle(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, seed=53)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i, mode="cow")
+    assert table.delta_file_counts() == {}, "COW must not write delta files"
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_cow_batch_over_mor_table(spark, tmp_path):
+    """A COW MERGE whose pruned slice contains unresolved delta files must
+    LWW-resolve the slice before joining (key-unique target invariant)."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, dup_rate=0.25, seed=57)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1)
+    apply_batch(spark, table, spark.read.parquet(segs[2]), batch_id=2, mode="cow")
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_auto_compaction_triggers(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=15, n_events=120, n_segments=6, seed=59)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(
+            spark, table, spark.read.parquet(seg), batch_id=i, compact_threshold=3
+        )
+    assert max(table.delta_file_counts().values(), default=0) < 3
+    assert any(
+        s["batch_id"].startswith("__compact__") for s in table.committed_chain()
+    )
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_expire_after_compact(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=15, n_events=80, n_segments=2, seed=61)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    table.compact(spark)
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["removed_snapshots"] >= 1
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_time_travel_across_modes(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=20, n_events=100, n_segments=2, seed=63)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    count_after_0 = table.read(spark).count()
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1)
+    sid0 = table.find_batch("0")
+    assert table.read(spark, sid0).count() == count_after_0
+    assert_state_equal(table.read(spark), fx["expected"])

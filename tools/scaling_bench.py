@@ -1,0 +1,50 @@
+"""One isolated CDC-replay timing run (called as a subprocess by bench.py).
+
+A fresh JVM per (master, rep) eliminates cross-run JVM-state pollution
+(cache/GC drift) that makes in-process A/B timings incomparable, and lets
+the caller alternate masters to spread host noise fairly.
+
+    python tools/scaling_bench.py <master> <log_dir> [table_parent]
+
+Prints one line: ``WALL <seconds>``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cfe_39_spark.operators.cdc import apply_batch  # noqa: E402
+from cfe_39_spark.session import get_spark  # noqa: E402
+from cfe_39_spark.sources.table import SequenceTable  # noqa: E402
+
+
+def main() -> None:
+    master = sys.argv[1]
+    log_dir = sys.argv[2]
+    parent = sys.argv[3] if len(sys.argv) > 3 else None
+    segs = sorted(glob.glob(os.path.join(log_dir, "seg-*")))
+    d = tempfile.mkdtemp(prefix="cfe39-scale-", dir=parent)
+    spark = get_spark(master=master, app_name=f"cdc-scale-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        warm = SequenceTable.create(spark, os.path.join(d, "warm"), n_buckets=32)
+        apply_batch(spark, warm, spark.read.parquet(segs[0]).limit(5000), batch_id="w")
+        t = SequenceTable.create(spark, os.path.join(d, "t"), n_buckets=32)
+        t0 = time.monotonic()
+        for i, seg in enumerate(segs):
+            apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+        print(f"WALL {time.monotonic() - t0:.2f}", flush=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
