@@ -351,16 +351,31 @@ class SequenceTable:
     def plan_merge_files(
         self, snap: dict, touched_buckets: set[int], key_bounds: dict[int, tuple[str, str]]
     ) -> tuple[list[dict], list[dict]]:
-        """Split the manifest into (rewrite, carry) for a MERGE (O3).
+        """Split the manifest into (rewrite, carry) for a COW MERGE (O3).
 
         A file is rewritten iff its bucket is touched AND its doc_id
         min/max range can intersect the batch's key range for that bucket.
         Everything else is carried into the child snapshot untouched.
+
+        Exception: a touched bucket that holds merge-on-read DELTA files is
+        rewritten WHOLE (no range pruning).  A key can live in several
+        files there (base + deltas); pruning could pull one version into
+        the merge while carrying another, breaking the key-unique output
+        invariant.  Rewriting the bucket makes the COW merge double as its
+        compaction — after it, the bucket is fully resolved base files.
         """
+        delta_buckets = {
+            e["bucket"]
+            for e in snap["files"]
+            if e.get("kind", "base") == "delta" and e["bucket"] in touched_buckets
+        }
         rewrite, carry = [], []
         for e in snap["files"]:
             b = e["bucket"]
             if b in touched_buckets:
+                if b in delta_buckets:
+                    rewrite.append(e)
+                    continue
                 lo, hi = key_bounds.get(b, (None, None))
                 if (
                     e["min_doc_id"] is None
