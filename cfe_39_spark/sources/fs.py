@@ -45,6 +45,16 @@ def read_text(path: str) -> str:
         return f.read()
 
 
+def append_line(path: str, line: str) -> None:
+    """Append one line (single-writer log; maps to HDFS append / an object-
+    store per-commit marker object on a cluster)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(line + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def exists(path: str) -> bool:
     return os.path.exists(path)
 

@@ -190,11 +190,41 @@ class SequenceTable:
             sid = s["parent_id"]
         return out
 
+    def _batches_log_path(self) -> str:
+        return os.path.join(self.meta_dir, "batches.log")
+
+    def _batches_log(self) -> dict[str, int]:
+        """batch_id -> snapshot_id from the append-only commit log."""
+        path = self._batches_log_path()
+        out: dict[str, int] = {}
+        if fs.exists(path):
+            for line in fs.read_text(path).splitlines():
+                if line:
+                    bid, _, sid = line.rpartition(" ")
+                    out[bid] = int(sid)
+        return out
+
     def find_batch(self, batch_id: str) -> int | None:
-        """Snapshot id that committed ``batch_id``, or None (idempotency probe)."""
-        for s in self.committed_chain():
-            if s["batch_id"] == str(batch_id):
+        """Snapshot id that committed ``batch_id``, or None (idempotency probe).
+
+        O(1) via the append-only batches.log; at 10^10-scale streams the
+        alternative (walking the snapshot chain every trigger) is O(n²)
+        driver time.  The log line is appended AFTER the pointer swap, so
+        a crash can leave at most the newest commits unlogged — the chain
+        walk below covers exactly that suffix and stops at the first
+        logged snapshot.
+        """
+        bid = str(batch_id)
+        logged = self._batches_log()
+        if bid in logged:
+            return logged[bid]
+        logged_sids = set(logged.values())
+        sid: int | None = self.latest_snapshot_id()
+        while sid is not None and sid not in logged_sids:
+            s = self.snapshot(sid)
+            if s["batch_id"] == bid:
                 return s["snapshot_id"]
+            sid = s["parent_id"]
         return None
 
     def user_schema(self, snap: dict | None = None) -> T.StructType:
@@ -286,6 +316,7 @@ class SequenceTable:
         }
         fs.write_json_atomic(self._snap_path(sid), snap)
         fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(sid))
+        fs.append_line(self._batches_log_path(), f"{batch_id} {sid}")
         return sid
 
     # ------------------------------------------------------------------ #

@@ -80,6 +80,31 @@ def test_expire_after_compact(spark, tmp_path):
     assert_state_equal(table.read(spark), fx["expected"])
 
 
+def test_find_batch_log_and_crash_window(spark, tmp_path):
+    """find_batch is O(1) via batches.log; an unlogged suffix (crash after
+    pointer swap, before log append) is covered by the bounded chain walk;
+    a missing log (legacy table) falls back to the full walk."""
+    import os
+
+    cfg = GenConfig(n_docs_initial=10, n_events=60, n_segments=3, seed=67)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    log_path = table._batches_log_path()
+    assert os.path.exists(log_path)
+    # fresh handle (restart): resolves via the log
+    t2 = SequenceTable(table.root)
+    assert t2.find_batch("1") is not None
+    # crash window: drop the newest log line -> chain-walk fallback finds it
+    lines = open(log_path).read().splitlines()
+    open(log_path, "w").write("\n".join(lines[:-1]) + "\n")
+    assert SequenceTable(table.root).find_batch("2") is not None
+    # legacy table: no log at all -> full walk
+    os.unlink(log_path)
+    assert SequenceTable(table.root).find_batch("0") is not None
+    assert SequenceTable(table.root).find_batch("nope") is None
+
+
 def test_time_travel_across_modes(spark, tmp_path):
     cfg = GenConfig(n_docs_initial=20, n_events=100, n_segments=2, seed=63)
     table, fx, segs = _fixture(spark, tmp_path, cfg)
