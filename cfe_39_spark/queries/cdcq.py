@@ -232,6 +232,24 @@ def cdc08(spark, sf):
 
 
 @register(
+    "cdc08b_sliding_window",
+    """SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM events, (SELECT unnest(range(0, 2)) AS i)
+       GROUP BY 1""",
+)
+def cdc08b(spark, sf):
+    """T3: sliding event-time window (2h size, 1h slide) — each event lands
+    in two overlapping windows; the oracle materializes the same windows
+    via the truncate-minus-offset identity."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").getField("start").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
     "cdc09_session_window",
     """WITH g AS (
          SELECT user_id, ts,

@@ -1,0 +1,69 @@
+"""Streaming-only operator surface (SURVEY.md §2.4 T1/T2/T5): watermarked
+event-time window aggregation and stateful streaming dedup over the file
+source, bounded with availableNow."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from cfe_39_spark.fixtures import GenConfig, write_fixture
+from cfe_39_spark.streaming.ingest import infer_log_schema
+
+
+def _stream(spark, tmp_path, seed, dup_rate=0.0):
+    cfg = GenConfig(n_docs_initial=10, n_events=80, n_segments=2, seed=seed,
+                    dup_rate=dup_rate)
+    write_fixture(str(tmp_path / "fx"), cfg)
+    seg_dir = str(tmp_path / "fx" / "segments")
+    schema = infer_log_schema(spark, seg_dir)
+    return spark.readStream.schema(schema).parquet(seg_dir), seg_dir
+
+
+def test_watermarked_window_agg(spark, tmp_path):
+    """T1+T2: tumbling window counts under a watermark; append mode emits
+    only windows the watermark has closed, and every emitted window must
+    agree with the batch computation."""
+    src, seg_dir = _stream(spark, tmp_path, seed=91)
+    agg = (
+        src.withWatermark("event_time", "30 seconds")
+        .groupBy(F.window("event_time", "1 minute").getField("start").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_windows")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["w"]: r["n"] for r in spark.sql("SELECT * FROM wm_windows").collect()}
+    assert got, "watermark should have closed at least one window"
+    batch = {
+        r["w"]: r["n"]
+        for r in spark.read.parquet(seg_dir)
+        .groupBy(F.window("event_time", "1 minute").getField("start").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for w, n in got.items():
+        assert batch[w] == n, f"window {w}: stream {n} != batch {batch[w]}"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T5: dropDuplicatesWithinWatermark on (doc_id, offset) collapses
+    duplicate deliveries across micro-batches (the Spark-state alternative
+    to the engine's table-state idempotency filter)."""
+    src, seg_dir = _stream(spark, tmp_path, seed=93, dup_rate=0.4)
+    dedup = src.withWatermark("event_time", "10 minutes").dropDuplicatesWithinWatermark(
+        ["doc_id", "offset"]
+    )
+    q = (
+        dedup.writeStream.format("memory").queryName("wm_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n_stream = spark.sql("SELECT count(*) c FROM wm_dedup").first()["c"]
+    n_distinct = (
+        spark.read.parquet(seg_dir).select("doc_id", "offset").distinct().count()
+    )
+    n_raw = spark.read.parquet(seg_dir).count()
+    assert n_raw > n_distinct  # fixture really contains duplicates
+    assert n_stream == n_distinct
