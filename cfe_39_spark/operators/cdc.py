@@ -359,7 +359,15 @@ def _apply_mor(
     """Merge-on-read apply: stamp the winners with bookkeeping columns and
     commit them as delta files — no table read, no rewrite, O(batch) per
     trigger.  Redelivered/out-of-order rows are written too and simply
-    lose at read-time resolution (same ordering rule, same final state)."""
+    lose at read-time resolution (same ordering rule, same final state).
+
+    Lineage semantics: in this mode ``rows_applied`` means "winners
+    written" — a stale winner that later loses at read-time resolution is
+    still counted, whereas COW counts only rows passing the C4
+    monotonicity filter.  Counting true applies here would require the
+    stored-bookkeeping join MOR exists to avoid, so the difference is
+    recorded in the lineage row (``rows_applied_semantics``) instead of
+    being papered over."""
     n_buckets = snap["n_buckets"]
     typed = {f.name: f.dataType for f in new_schema.fields}
     is_del = F.col("op") == "D"
@@ -404,6 +412,7 @@ def _apply_mor(
         "mode": "mor",
         "events_in": events_in,
         "rows_applied": rows_applied,
+        "rows_applied_semantics": "winners_written",
         "schema_changes": [],
         "per_partition": per_partition,
         "wall_ms": wall_ms,

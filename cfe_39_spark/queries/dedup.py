@@ -16,6 +16,7 @@ from .base import register, table
 
 N_SEEDS = 8  # minhash signature length
 N_BANDS = 4  # LSH bands (r = 2 rows/band): P(candidate) = 1-(1-j^2)^4
+DF_CUT = 50  # dd02: drop shingles shared by more than this many docs
 
 
 def _shingles(d: DataFrame) -> DataFrame:
@@ -63,9 +64,12 @@ def dd01(spark, sf):
 @register(
     "dd02_ngram_jaccard",
     f"""WITH {_SHINGLE_SQL},
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       shf AS (SELECT sh.doc_id, sh.s FROM sh
+               JOIN (SELECT s FROM sh GROUP BY s
+                     HAVING count(*) <= {DF_CUT}) keep USING (s)),
+       sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
        SELECT doc_a, doc_b,
               ROUND(c / (x.n + y.n - c), 4) AS jaccard
@@ -74,11 +78,20 @@ def dd01(spark, sf):
 )
 def dd02(spark, sf):
     """n-gram Jaccard near-dup: distinct word-3-gram shingles, candidate
-    pairs via shingle equi-join, J = |∩|/|∪| >= 0.5.  The join shuffles on
-    the shingle key, so cost is Σ df(s)² over shared shingles — at corpus
-    scale a document-frequency cut on hot shingles bounds it (the MinHash
-    variant below is the true 100 TB path)."""
+    pairs via shingle equi-join, J = |∩|/|∪| >= 0.5 over the kept-shingle
+    universe.  The join shuffles on the shingle key, so cost is Σ df(s)²
+    over shared shingles — a stop-shingle shared by k docs alone yields
+    k² join rows, which detonates at corpus scale.  The document-frequency
+    cut drops shingles with df > DF_CUT *before* the join (both numerator
+    and denominator use the filtered universe, so Jaccard stays a
+    well-defined estimator and the oracle mirrors it exactly); cost becomes
+    Σ_{{df(s)<=K}} df(s)² <= K · |shingles|, linear in corpus size.  The
+    MinHash variant below is still the true 100 TB path."""
     sh = _shingles(table(spark, sf, "documents"))
+    keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= DF_CUT
+    ).select("s")
+    sh = sh.join(keep, "s")
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -273,6 +273,35 @@ def r11(spark, sf):
 
 
 @register(
+    "r11b_approx_distinct",
+    """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps_exact,
+              true AS approx_within_5pct
+       FROM lineitem""",
+)
+def r11b(spark, sf):
+    """R11 approx variant: HyperLogLog++ ``approx_count_distinct`` — the
+    sketch that replaces the exact expand+two-phase agg at 10^10 rows
+    (fixed-size state per partition, one tiny merge, no key shuffle).
+    The sketch estimate is engine-specific, so the oracled output is the
+    exact counts plus a bound check: both estimates within 5% of exact
+    (rsd pinned to 0.01, so 5% is a >4-sigma margin)."""
+    li = table(spark, sf, "lineitem")
+    a = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("as_"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_suppkey").alias("n_supps_exact"),
+    )
+    within = (
+        F.abs(F.col("ap") - F.col("n_parts_exact")) <= 0.05 * F.col("n_parts_exact")
+    ) & (F.abs(F.col("as_") - F.col("n_supps_exact")) <= 0.05 * F.col("n_supps_exact"))
+    return a.select(
+        "n_parts_exact", "n_supps_exact", within.alias("approx_within_5pct")
+    )
+
+
+@register(
     "r12_rollup",
     """SELECT l_returnflag, l_linestatus,
               GROUPING(l_returnflag, l_linestatus) AS gid,
@@ -399,6 +428,45 @@ def r17(spark, sf):
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     ).select("o_custkey")
     return y95.intersect(y96)
+
+
+def _years(spark, sf):
+    o = table(spark, sf, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95, y96
+
+
+@register(
+    "r17b_set_ops_all",
+    """SELECT 'intersect_all' AS op, o_custkey FROM (
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+       UNION ALL
+       SELECT 'except_all' AS op, o_custkey FROM (
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')""",
+)
+def r17b(spark, sf):
+    """R17 multiset variants: intersectAll/exceptAll — bag semantics keep
+    per-row multiplicity (one hash-count per side + min/difference on
+    counts under the hood; same single-shuffle cost class as distinct)."""
+    y95, y96 = _years(spark, sf)
+    inter = y95.intersectAll(y96).select(
+        F.lit("intersect_all").alias("op"), "o_custkey"
+    )
+    exc = y95.exceptAll(y96).select(F.lit("except_all").alias("op"), "o_custkey")
+    return inter.unionByName(exc)
 
 
 # ------------------------------------------------------------------ #

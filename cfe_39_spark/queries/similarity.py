@@ -14,8 +14,10 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .base import register, table
 
-N_PLANES = 8  # hyperplane-LSH signature bits
+N_PLANES = 8  # hyperplane-LSH signature bits (sim03 bucket histogram)
 N_CELLS = 8  # IVF coarse cells (centroids = first N_CELLS vectors)
+N_TABLES = 4  # sim05: LSH hash tables (recall booster: cand = union over tables)
+PLANES_PER_TABLE = 4  # sim05: signature bits per table -> 16 buckets/table
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -95,9 +97,12 @@ def sim01(spark, sf):
        WHERE ROUND(d / (x.n * y.n), 6) >= 0.4""",
 )
 def sim02(spark, sf):
-    """Embedding-cosine near-dup pairs (brief: 'embedding-cosine near-dup'):
-    all pairs above threshold.  Exact variant for the oracle; production
-    prunes candidates with the LSH buckets of sim03 first."""
+    """Embedding-cosine near-dup pairs (brief: 'embedding-cosine near-dup').
+
+    DEMO-ONLY / oracle-exact variant: the `vec_a < vec_b` join is a
+    BroadcastNestedLoopJoin over n²/2 pairs — never run this at corpus
+    scale.  The production path is sim05 (LSH-bucketed candidates, exact
+    cosine verify), which prunes the pair space before any vector math."""
     e = table(spark, sf, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -167,12 +172,131 @@ def sim03(spark, sf):
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
+def _multi_table_planes_sql() -> str:
+    # 16 ±1 planes p=0..15; table l = p // PLANES_PER_TABLE, bit = p % PPT.
+    # Same public md5 derivation as sim03 so both engines agree bit-for-bit.
+    n = N_TABLES * PLANES_PER_TABLE
+    return (
+        "(SELECT p.p AS p, d.i AS i, "
+        " CASE WHEN substr(md5(p.p || '-' || d.i), 1, 1) >= '8' THEN 1 ELSE -1 END AS w"
+        f" FROM (SELECT unnest(range(0, {n})) AS p) p,"
+        "      (SELECT unnest(range(1, 65)) AS i) d)"
+    )
+
+
+@register(
+    "sim05_lsh_ann",
+    f"""WITH {_EX_SQL},
+       planes AS (SELECT * FROM {_multi_table_planes_sql()}),
+       bits AS (SELECT e.vec_id, pl.p, (sum(pl.w * e.v) > 0) AS bit
+                FROM ex e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2),
+       buckets AS (SELECT vec_id, p // {PLANES_PER_TABLE} AS l,
+                          CAST(sum(CASE WHEN bit
+                                        THEN 1 << (p % {PLANES_PER_TABLE})
+                                        ELSE 0 END) AS BIGINT) AS bucket
+                   FROM bits GROUP BY vec_id, p // {PLANES_PER_TABLE}),
+       pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                 FROM buckets q JOIN buckets c
+                   ON q.l = c.l AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id % 50 = 0),
+       dots AS (SELECT query_id, neighbor_id, sum(a.v * b.v) AS d
+                FROM pairs JOIN ex a ON a.vec_id = query_id
+                           JOIN ex b ON b.vec_id = neighbor_id AND b.i = a.i
+                GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, sim FROM (
+         SELECT query_id, neighbor_id,
+                ROUND(d / (x.n * y.n), 6) AS sim,
+                row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY ROUND(d / (x.n * y.n), 6) DESC, neighbor_id) AS rn
+         FROM dots JOIN nrm x ON x.vec_id = query_id
+                   JOIN nrm y ON y.vec_id = neighbor_id
+       ) WHERE rn <= 3""",
+)
+def sim05(spark, sf):
+    """LSH ANN search end-to-end (the production near-neighbor path):
+    multi-table hyperplane LSH → bucket equi-join → candidate pairs →
+    exact-cosine verify → per-query top-k.
+
+    N_TABLES independent 4-bit hash tables; a pair is a candidate if it
+    collides in ANY table (the standard recall booster: miss probability
+    (1-p^r)^L).  Join cost is Σ_l Σ_bucket |bucket|² — never all-pairs —
+    and the exact cosine runs only on candidates, so at 10^10 vectors the
+    vector math is ~(corpus × L × avg-bucket) pair evaluations instead of
+    n².  Recall vs the sim01 brute-force baseline is asserted in
+    tests/test_similarity.py."""
+    e = table(spark, sf, "embeddings")
+    n_planes = N_TABLES * PLANES_PER_TABLE
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "vf")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v")
+    )
+    planes = (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(1, 65).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "p",
+            "i",
+            F.when(
+                F.substring(F.md5(F.concat_ws("-", F.col("p"), F.col("i"))), 1, 1) >= "8",
+                1,
+            )
+            .otherwise(-1)
+            .alias("w"),
+        )
+    )
+    bits = (
+        ex.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg((F.sum(F.col("w") * F.col("v")) > 0).alias("bit"))
+    )
+    buckets = bits.groupBy(
+        "vec_id", (F.col("p") / PLANES_PER_TABLE).cast("long").alias("l")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("bit"),
+                F.expr(f"CAST(shiftleft(1, p % {PLANES_PER_TABLE}) AS BIGINT)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    qb = buckets.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "l", "bucket"
+    )
+    pairs = (
+        qb.join(buckets, ["l", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    sims = (
+        pairs.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 @register("sim04_ivf_topk", None)
 def sim04(spark, sf):
     """IVF-pruned ANN top-k (rows-only): coarse-quantize every vector to its
     nearest of N_CELLS centroids (broadcast), then answer each query inside
     its own cell only — the inverted-file pruning that makes ANN linear-ish
-    at 10^10 vectors.  Recall vs sim01 is asserted in tests."""
+    at 10^10 vectors.  Demo limits (documented): centroids are the first
+    N_CELLS vectors rather than k-means, and a query searches 1 cell with
+    no nprobe widening.  Recall vs the sim01 brute-force baseline is
+    asserted in tests/test_similarity.py."""
     e = table(spark, sf, "embeddings")
     cents = e.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")

@@ -53,6 +53,11 @@ def engine_conf(builder: SparkSession.Builder, shuffle_partitions: int | None = 
         # The target table stores tokens as array<int32>; never let parquet
         # writes rebase or widen timestamps/ints silently.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Fixtures write tz-naive parquet timestamps; Spark 4 would infer
+        # TIMESTAMP_NTZ, which withWatermark rejects.  With the session tz
+        # pinned to UTC above, reading them as LTZ is lossless and keeps
+        # event-time streaming operators (watermark, dedup-with-state) legal.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
     )

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -210,22 +211,31 @@ class SequenceTable:
         O(1) via the append-only batches.log; at 10^10-scale streams the
         alternative (walking the snapshot chain every trigger) is O(n²)
         driver time.  The log line is appended AFTER the pointer swap, so
-        a crash can leave at most the newest commits unlogged — the chain
-        walk below covers exactly that suffix and stops at the first
-        logged snapshot.
-        """
+        a crash can leave the newest commits unlogged — the chain walk
+        below covers exactly that suffix AND self-heals: every committed-
+        but-unlogged snapshot it visits is appended to the log before
+        returning.  Because ``commit`` probes ``find_batch`` first, the
+        repair runs before any newer line is appended, so an unlogged
+        snapshot can never be buried below a logged one (the exactly-once
+        hole a crash between pointer swap and log append would otherwise
+        open)."""
         bid = str(batch_id)
         logged = self._batches_log()
         if bid in logged:
             return logged[bid]
         logged_sids = set(logged.values())
+        found: int | None = None
+        unlogged: list[tuple[str, int]] = []
         sid: int | None = self.latest_snapshot_id()
         while sid is not None and sid not in logged_sids:
             s = self.snapshot(sid)
+            unlogged.append((s["batch_id"], s["snapshot_id"]))
             if s["batch_id"] == bid:
-                return s["snapshot_id"]
+                found = s["snapshot_id"]
             sid = s["parent_id"]
-        return None
+        for b, s2 in reversed(unlogged):  # oldest first: log order = commit order
+            fs.append_line(self._batches_log_path(), f"{b} {s2}")
+        return found
 
     def user_schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snapshot()
@@ -253,16 +263,23 @@ class SequenceTable:
             .write.partitionBy("_bucket")
             .parquet(out_dir)
         )
-        entries = []
+        paths: list[tuple[str, int]] = []
         for bdir in fs.listdir(out_dir):
             if not bdir.startswith("_bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
             for fn in fs.listdir(os.path.join(out_dir, bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(out_dir, bdir, fn)
-                rows, mn, mx = _file_stats(p)
+                if fn.endswith(".parquet"):
+                    paths.append((os.path.join(out_dir, bdir, fn), b))
+        # footer reads release the GIL inside pyarrow; a thread pool turns
+        # the per-commit stats collection from B sequential opens into one
+        # parallel sweep — this loop is on the per-trigger driver floor that
+        # caps streaming scaling efficiency, so it must not be O(B) serial
+        entries = []
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
+            for (p, b), (rows, mn, mx) in zip(
+                paths, pool.map(lambda pb: _file_stats(pb[0]), paths)
+            ):
                 if rows == 0:
                     continue
                 entries.append(
@@ -289,6 +306,7 @@ class SequenceTable:
         schema_version: int | None = None,
         new_schema: T.StructType | None = None,
         lineage: dict | None = None,
+        n_buckets: int | None = None,
     ) -> int:
         existing = self.find_batch(str(batch_id))
         if existing is not None:
@@ -308,7 +326,7 @@ class SequenceTable:
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
             "batch_id": str(batch_id),
-            "n_buckets": parent["n_buckets"],
+            "n_buckets": n_buckets if n_buckets is not None else parent["n_buckets"],
             "schema_version": sv,
             "schemas": schemas,
             "files": carried_files + new_files,
@@ -362,12 +380,28 @@ class SequenceTable:
     ) -> DataFrame:
         """Full internal state (bookkeeping + tombstones included).  When
         the snapshot carries merge-on-read delta files, rows are LWW-
-        resolved to one winner per key (Iceberg-v2-style read path)."""
+        resolved to one winner per key (Iceberg-v2-style read path).
+
+        Bucket-scoped resolution: only buckets that actually hold delta
+        files pay the groupBy shuffle; clean buckets' base files stream
+        through a plain union-scan.  A key lives in exactly one bucket
+        (same hash at write and read), so resolving per-bucket-group and
+        unioning is equivalent to resolving the whole table — but at
+        10^10 rows with 1 dirty bucket of 1024, it is ~1000x less shuffle.
+        """
         snap = self.snapshot(snapshot_id)
-        df = self._read_files(spark, snap, snap["files"])
-        if resolve and has_deltas(snap["files"]):
-            df = lww_resolve(df)
-        return df
+        files = snap["files"]
+        delta_buckets = {
+            e["bucket"] for e in files if e.get("kind", "base") == "delta"
+        }
+        if not (resolve and delta_buckets):
+            return self._read_files(spark, snap, files)
+        dirty = [e for e in files if e["bucket"] in delta_buckets]
+        clean = [e for e in files if e["bucket"] not in delta_buckets]
+        out = lww_resolve(self._read_files(spark, snap, dirty))
+        if clean:
+            out = out.unionByName(self._read_files(spark, snap, clean))
+        return out
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """User-facing read: live rows, user columns only."""
@@ -458,6 +492,46 @@ class SequenceTable:
             new_files,
             rest,
             lineage={"compacted_buckets": buckets},
+        )
+
+    # ------------------------------------------------------------------ #
+    # maintenance: rebucketing (SURVEY.md §4.2 O2 — "B fixed per table,
+    # rebucketing = maintenance op")
+    # ------------------------------------------------------------------ #
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int | None:
+        """Rewrite the table into ``new_n_buckets`` doc_id hash buckets.
+
+        At 10^10 rows a table created with too few buckets makes every
+        MERGE touch huge files; growing B is mandatory.  This is a normal
+        snapshot commit (time travel to the old layout still works, expiry
+        reclaims it), resolving MOR deltas on the way through — after it,
+        the table is fully-resolved base files in the new layout and every
+        subsequent MERGE prunes against the new bucket count.
+
+        Cost model: a full-table rewrite, one shuffle on the new bucket
+        key — the same cost Iceberg pays for a RewriteDataFiles over a
+        changed partition spec.  When B' is a multiple of B, a cheaper
+        incremental variant (split one old bucket into B'/B new ones at a
+        time, since pmod(h, B') within an old bucket only yields keys
+        congruent mod B) is possible; not needed at sandbox scale and a
+        full rewrite keeps the commit atomic.
+        """
+        snap = self.snapshot()
+        if new_n_buckets == snap["n_buckets"]:
+            return None
+        state = self.read_state(spark)  # MOR-resolved, tombstones retained
+        new_files = self._write_data_files(
+            state,
+            new_n_buckets,
+            snap["schema_version"],
+            batch_tag=f"rebucket{snap['snapshot_id']}",
+        )
+        return self.commit(
+            f"__rebucket__-{snap['snapshot_id']}-{new_n_buckets}",
+            new_files,
+            [],
+            lineage={"rebucket_from": snap["n_buckets"], "rebucket_to": new_n_buckets},
+            n_buckets=new_n_buckets,
         )
 
     # ------------------------------------------------------------------ #

@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession
 
 from ..operators.cdc import apply_batch
 from ..sources.table import SequenceTable
-from .lineage import write_lineage
+from .lineage import EngineMetricsListener, metrics_dir, write_lineage
 
 
 def infer_log_schema(spark: SparkSession, log_dir: str):
@@ -74,6 +74,10 @@ def run_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    # S5 control-plane metrics: per-trigger progress records beside the
+    # table, written from the listener's event thread (off the hot path)
+    listener = EngineMetricsListener(table.root)
+    spark.streams.addListener(listener)
     q = writer.start()
     try:
         q.awaitTermination()
@@ -84,7 +88,28 @@ def run_stream(
     finally:
         if q.isActive:
             q.stop()
+        _drain_metrics(table.root, seen["n"], crashed=stop_after_batches is not None)
+        spark.streams.removeListener(listener)
     return seen["n"]
+
+
+def _drain_metrics(table_root: str, n_batches: int, crashed: bool) -> None:
+    """Progress events are delivered asynchronously; give the listener a
+    bounded window to flush before detaching so a bounded run leaves a
+    complete metrics trail.  Best-effort on simulated crashes."""
+    if n_batches == 0:
+        return
+    import time
+
+    d = metrics_dir(table_root)
+    deadline = time.monotonic() + (2.0 if crashed else 10.0)
+    while time.monotonic() < deadline:
+        done = os.path.isdir(d) and sum(
+            1 for f in os.listdir(d) if f.startswith("progress-")
+        ) >= n_batches
+        if done:
+            return
+        time.sleep(0.1)
 
 
 def replay(

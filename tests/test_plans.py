@@ -5,14 +5,10 @@ scan, fails here — at sf0.001 these run in seconds."""
 
 import pytest
 
+from cfe_39_spark.plans import plan_string as plan, python_eval_nodes
 from cfe_39_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
-
-
-def plan(df) -> str:
-    qe = df._jdf.queryExecution()
-    return qe.toString() + "\n" + qe.executedPlan().toString()
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -55,8 +51,7 @@ def test_q1_has_partial_aggregation(spark):
 )
 def test_no_python_udf_in_hot_queries(spark, name):
     """The oracle-checked packs stay JVM-side: no Python eval nodes."""
-    p = plan(REGISTRY[name].fn(spark, SF))
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert python_eval_nodes(REGISTRY[name].fn(spark, SF)) == []
 
 
 def test_merge_file_pruning_unit():

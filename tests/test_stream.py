@@ -110,3 +110,21 @@ def test_crash_before_commit_then_retry(spark, tmp_path, monkeypatch):
     stats = table.expire_snapshots(keep_last=1)
     assert stats["removed_files"] >= 0
     assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_stream_metrics_listener_records(spark, fixture_dirs):
+    """S5 control-plane: a bounded stream leaves per-trigger
+    StreamingQueryListener progress records beside the table."""
+    from cfe_39_spark.streaming.lineage import read_stream_metrics
+
+    tmp_path, table, fx = fixture_dirs
+    n = run_stream(
+        spark, str(tmp_path / "fx" / "segments"), table,
+        checkpoint=str(tmp_path / "cp"), max_files_per_trigger=2,
+    )
+    m = read_stream_metrics(spark, str(tmp_path / "table"))
+    rows = m.collect()
+    assert len(rows) >= n, f"expected >= {n} progress records, got {len(rows)}"
+    assert all(r["query_name"] == "cfe39-cdc-ingest" for r in rows)
+    assert sum(r["num_input_rows"] for r in rows) > 0
+    assert all(r["trigger_ms"] >= 0 for r in rows)

@@ -24,10 +24,13 @@ def test_watermarked_window_agg(spark, tmp_path):
     only windows the watermark has closed, and every emitted window must
     agree with the batch computation."""
     src, seg_dir = _stream(spark, tmp_path, seed=91)
+    # group by the window() column itself — projecting .start before the
+    # agg would strip the event-time attribute and lose the watermark
     agg = (
         src.withWatermark("event_time", "30 seconds")
-        .groupBy(F.window("event_time", "1 minute").getField("start").alias("w"))
+        .groupBy(F.window("event_time", "1 minute"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
     )
     q = (
         agg.writeStream.format("memory").queryName("wm_windows")

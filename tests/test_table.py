@@ -114,3 +114,84 @@ def test_time_travel_across_modes(spark, tmp_path):
     sid0 = table.find_batch("0")
     assert table.read(spark, sid0).count() == count_after_0
     assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_buried_unlogged_commit_stays_idempotent(spark, tmp_path):
+    """Exactly-once hole regression: a crash between _LATEST swap and the
+    batches.log append leaves a committed-but-unlogged snapshot.  The next
+    commit's find_batch probe must repair the log BEFORE appending a newer
+    line, so the orphan can never be buried below a logged snapshot (which
+    would make a later redelivery of its batch double-commit)."""
+    import os
+
+    cfg = GenConfig(n_docs_initial=10, n_events=60, n_segments=3, seed=71)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1)
+    # simulate the crash window: batch 1's log line never landed
+    log_path = table._batches_log_path()
+    lines = open(log_path).read().splitlines()
+    assert lines[-1].startswith("1 ")
+    open(log_path, "w").write("\n".join(lines[:-1]) + "\n")
+    # next commit (fresh handle = restarted driver) must self-heal the log
+    t2 = SequenceTable(table.root)
+    apply_batch(spark, t2, spark.read.parquet(segs[2]), batch_id=2)
+    logged = open(log_path).read()
+    assert any(ln.startswith("1 ") for ln in logged.splitlines())
+    # redelivery of batch 1 through yet another fresh handle is a no-op
+    res = apply_batch(
+        spark, SequenceTable(table.root), spark.read.parquet(segs[1]), batch_id=1
+    )
+    assert res.noop
+    assert_state_equal(SequenceTable(table.root).read(spark), fx["expected"])
+
+
+def test_rebucket_preserves_state_and_new_layout(spark, tmp_path):
+    """O2 maintenance: grow the bucket count mid-history; state must be
+    bit-for-bit unchanged and subsequent MERGEs must plan against the new
+    layout."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, seed=73)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)  # created with B=4
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1)
+    before = table.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    sid = table.rebucket(spark, 16)
+    assert sid is not None
+    snap = table.snapshot()
+    assert snap["n_buckets"] == 16
+    assert table.delta_file_counts() == {}, "rebucket resolves MOR deltas"
+    assert max(e["bucket"] for e in snap["files"]) >= 4, "files span new buckets"
+    after = table.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert before.equals(after)
+    # no-op when the count is unchanged; idempotent on batch_id otherwise
+    assert table.rebucket(spark, 16) is None
+    # subsequent merges (both modes) work against the new layout
+    apply_batch(spark, table, spark.read.parquet(segs[2]), batch_id=2, mode="cow")
+    assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_mor_read_resolves_only_delta_buckets(spark, tmp_path):
+    """Bucket-scoped MOR read: when deltas touch a subset of buckets, the
+    read plan unions clean base files AROUND the LWW aggregate instead of
+    shuffling the whole table through it."""
+    from pyspark.sql import functions as F
+
+    from cfe_39_spark.plans import plan_string
+    from cfe_39_spark.sources.table import lww_resolve
+
+    cfg = GenConfig(n_docs_initial=24, n_events=80, n_segments=2, seed=79)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    seg = spark.read.parquet(segs[0])
+    one_doc = seg.select("doc_id").first()["doc_id"]
+    apply_batch(spark, table, seg.filter(F.col("doc_id") == one_doc), batch_id=0)
+    snap = table.snapshot()
+    dirty = {e["bucket"] for e in snap["files"] if e.get("kind") == "delta"}
+    assert len(dirty) == 1, "single-doc delta must dirty exactly one bucket"
+    resolved = table.read_state(spark)
+    p = plan_string(resolved)
+    assert "Union" in p, "clean buckets must bypass the LWW aggregate"
+    # semantics: bucket-scoped resolution == whole-table resolution
+    full = lww_resolve(table._read_files(spark, snap, snap["files"]))
+    a = resolved.orderBy("doc_id").toPandas().drop(columns=["tokens"])
+    b = full.orderBy("doc_id").toPandas().drop(columns=["tokens"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
