@@ -308,3 +308,52 @@ def cdc10(spark, sf):
         "source",
         token_sum_expr("tokens").alias("token_checksum"),
     )
+
+
+@register(
+    "cdc11_stateful_tracker",
+    """SELECT user_id,
+              max(event_id) AS max_offset,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(ts) AS first_ts,
+              max(ts) AS last_ts
+       FROM events GROUP BY user_id""",
+)
+def cdc11(spark, sf):
+    """T6: arbitrary stateful streaming op — a per-key CDC progress
+    tracker (``applyInPandasWithState``) whose GroupState crosses
+    micro-batch boundaries.  The log is sliced into 4 files read one per
+    trigger, so every key's state is folded across several batches; the
+    final emitted snapshot per key must equal the batch GROUP BY (every
+    state field is a commutative-monoid fold, so the result is
+    slicing-independent — that is what makes T6 oracle-checkable)."""
+    import uuid
+
+    from ..streaming.stateful import running_key_stats
+
+    d = tempfile.mkdtemp(prefix="cfe39-t6-")
+    log_dir = os.path.join(d, "log")
+    e = table(spark, sf, "events")
+    e.repartitionByRange(4, "event_id").write.parquet(log_dir)
+
+    src = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(log_dir)
+    sink = f"t6_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_key_stats(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final snapshot per key = the emission with the largest running count
+    # (strictly increasing in every batch where the key appears)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "max_offset", "n_events", "first_ts", "last_ts")
+    )

@@ -70,3 +70,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_raw = spark.read.parquet(seg_dir).count()
     assert n_raw > n_distinct  # fixture really contains duplicates
     assert n_stream == n_distinct
+
+
+def test_stateful_tracker_state_crosses_batches(spark, tmp_path):
+    """T6: applyInPandasWithState folds per-key state across micro-batches.
+    Slice the events log into 4 single-file triggers; keys seen in several
+    batches must emit several snapshots (proof the GroupState persisted),
+    and the final snapshot per key must equal the batch GROUP BY."""
+    from pyspark.sql import Window
+
+    from cfe_39_spark.streaming.stateful import running_key_stats
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    log_dir = str(tmp_path / "log")
+    e.repartitionByRange(4, "event_id").write.parquet(log_dir)
+    src = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    q = (
+        running_key_stats(src)
+        .writeStream.format("memory").queryName("t6_unit")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.table("t6_unit")
+    n_keys = e.select("user_id").distinct().count()
+    assert emitted.count() > n_keys, "no key emitted twice => state never crossed a batch"
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("user_id", "max_offset", "n_events", "first_ts", "last_ts")
+    )
+    batch = e.groupBy("user_id").agg(
+        F.max("event_id").alias("max_offset"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
