@@ -31,11 +31,19 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+import sys
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F, types as T
 
 from ..functions.tokens import n_tok_expr, validate_tokens_arrow
 from ..schema import ALLOWED_WIDENINGS, BOOKKEEPING_COLS, CDC_META_COLS
-from ..sources.table import SequenceTable, bucket_expr, has_deltas, lww_resolve
+from ..sources.table import (
+    CommitConflictError,
+    SequenceTable,
+    bucket_expr,
+    has_deltas,
+    lww_resolve,
+)
 
 
 def _per_partition(prog: list, applied_rows: list) -> list[dict]:
@@ -211,6 +219,7 @@ def apply_batch(
     # ---- C6: ONE column-pruned job for lineage stats + the batch's max
     # schema_version (offset/src_partition/schema_version only — the token
     # column never leaves the parquet footer for this scan) ----
+    t_prog = time.monotonic()
     prog = (
         events.groupBy("src_partition")
         .agg(
@@ -221,21 +230,28 @@ def apply_batch(
         )
         .collect()
     )
+    if os.environ.get("CFE39_TIMING"):
+        print(f"TIMING {bid} prog={time.monotonic() - t_prog:.2f}", file=sys.stderr)
     batch_sv = max((r["sv"] or 0) for r in prog) if prog else 0
     sv = max(int(batch_sv), snap["schema_version"])
     register = new_schema if (changes or sv > snap["schema_version"]) else None
     user_cols = [f.name for f in new_schema.fields]
 
     # ---- C1+C2+C3: one winner per key ----
-    # persisted: reused by the merge-planner collect, the C4 join and the
-    # merge itself — without this the LWW aggregation would run 3x
-    winners = lww_winners(events, lww_strategy, n_salts).persist()
+    winners = lww_winners(events, lww_strategy, n_salts)
 
     if mode == "mor":
+        # no persist: MOR consumes winners exactly once (the delta-write
+        # job); lineage counts ride the same job via observe(), so caching
+        # a full token-payload copy would only add memory traffic
         return _apply_mor(
             spark, table, winners, bid, snap, new_schema, sv,
             register, prog, t0, compact_threshold,
         )
+
+    # persisted: reused by the merge-planner collect, the C4 join and the
+    # merge itself — without this the LWW aggregation would run 3x
+    winners = winners.persist()
 
     # ---- O3: plan the touched slice ----
     tb = (
@@ -320,6 +336,31 @@ def apply_batch(
     merged = j.select(merged_cols)
 
     new_files = table._write_data_files(merged, n_buckets, sv, batch_tag=bid)
+
+    # ---- S10: explicit change set (Delta-CDF role).  COW base files mix
+    # rewritten-but-unchanged rows with real changes, so the feed must be
+    # written separately — O(applied rows), from the already-persisted w.
+    ch_is_del = F.col("op") == "D"
+    ch_cols = [F.col("_b_doc_id").alias("doc_id")]
+    for f2 in new_schema.fields:
+        if f2.name == "doc_id":
+            continue
+        src2 = F.when(ch_is_del, F.lit(None).cast(f2.dataType)).otherwise(
+            F.col(f"_b_{f2.name}").cast(f2.dataType)
+        )
+        if f2.name == "n_tok":
+            src2 = F.coalesce(src2, n_tok_expr(F.when(~ch_is_del, F.col("_b_tokens"))))
+        ch_cols.append(src2.alias(f2.name))
+    ch_cols += [
+        F.col("offset").alias("_last_offset"),
+        F.col("event_time").alias("_last_event_time"),
+        F.col("epoch").alias("_last_epoch"),
+        ch_is_del.alias("_deleted"),
+    ]
+    change_files = table._write_data_files(
+        w.filter("_applies").select(ch_cols), n_buckets, sv,
+        batch_tag=f"{bid}chg", kind="changelog",
+    )
     w.unpersist()
     winners.unpersist()
 
@@ -332,6 +373,8 @@ def apply_batch(
         "per_partition": per_partition,
         "wall_ms": wall_ms,
     }
+    # COW planned its rewrite against `snap`; a concurrent commit means the
+    # merge itself is stale — fail loudly, caller redoes the batch
     sid = table.commit(
         bid,
         new_files,
@@ -339,6 +382,8 @@ def apply_batch(
         schema_version=sv,
         new_schema=register,
         lineage=lineage,
+        change_files=change_files,
+        expected_parent_id=snap["snapshot_id"],
     )
     return ApplyResult(bid, sid, rows_applied, events_in, wall_ms=wall_ms, per_partition=per_partition)
 
@@ -389,6 +434,20 @@ def _apply_mor(
         F.col("epoch").alias("_last_epoch"),
         is_del.alias("_deleted"),
     ]
+    # C6 lineage counts ride the delta-write job itself (observe = JVM-side
+    # aggregates collected during the action) — no persist, no second scan;
+    # this is per-trigger serial floor, and the floor is what caps
+    # streaming scaling efficiency (BENCH.md §1)
+    parts = sorted({r["src_partition"] for r in prog})
+    obs = Observation()
+    if parts:
+        winners = winners.observe(
+            obs,
+            *[
+                F.count_if(F.col("src_partition") == p).alias(f"p{p}")
+                for p in parts
+            ],
+        )
     delta = winners.select(cols)
     if os.environ.get("CFE39_VALIDATE_TOKENS"):
         # C8 opt-in: Arrow-side vocab validation (functions.tokens).  Off
@@ -397,12 +456,13 @@ def _apply_mor(
         # costs more than the check is worth unless the source is
         # untrusted (UDFs are the slow path; prefer built-ins).
         delta = validate_tokens_arrow(delta)
+    t_w = time.monotonic()
     new_files = table._write_data_files(delta, n_buckets, sv, batch_tag=bid, kind="delta")
-
-    # applied (winner) counts per partition — a sub-second agg on the
-    # already-cached winners, not another scan of the raw batch
-    applied_rows = winners.groupBy("src_partition").count().collect()
-    winners.unpersist()
+    got = obs.get if parts else {}
+    applied_rows = [
+        {"src_partition": p, "count": int(got.get(f"p{p}", 0))} for p in parts
+    ]
+    t_c = time.monotonic()
     per_partition = _per_partition(prog, applied_rows)
     events_in = sum(p["events_in"] for p in per_partition)
     rows_applied = sum(p["rows_applied"] for p in per_partition)
@@ -417,14 +477,42 @@ def _apply_mor(
         "per_partition": per_partition,
         "wall_ms": wall_ms,
     }
-    sid = table.commit(
-        bid,
-        new_files,
-        snap["files"],
-        schema_version=sv,
-        new_schema=register,
-        lineage=lineage,
-    )
+    # Optimistic-concurrency commit loop: a MOR apply's delta files are
+    # parent-independent, so a conflicting concurrent commit only requires
+    # re-planning the carried manifest against the new parent — unless the
+    # table was rebucketed underneath us (delta bucket metadata would lie).
+    sid: int | None = None
+    for _ in range(5):
+        cur = snap if table.latest_snapshot_id() == snap["snapshot_id"] else table.snapshot()
+        if cur["n_buckets"] != n_buckets:
+            raise CommitConflictError(
+                f"table rebucketed {n_buckets}->{cur['n_buckets']} mid-apply; "
+                "delta bucket layout is stale — retry the whole batch"
+            )
+        try:
+            sid = table.commit(
+                bid,
+                new_files,
+                cur["files"],
+                schema_version=max(sv, cur["schema_version"]),
+                new_schema=register,
+                lineage=lineage,
+                # S10: the delta files ARE this commit's change feed — zero extra IO
+                change_files=new_files,
+                expected_parent_id=cur["snapshot_id"],
+            )
+            break
+        except CommitConflictError:
+            continue
+    else:
+        raise CommitConflictError(f"batch {bid}: commit lost the race 5 times")
+    if os.environ.get("CFE39_TIMING"):
+        print(
+            f"TIMING {bid} write={t_c - t_w:.2f} "
+            f"commit={time.monotonic() - t_c:.2f} "
+            f"total={time.monotonic() - t0:.2f}",
+            file=sys.stderr,
+        )
     if compact_threshold and max(
         table.delta_file_counts().values() or [0]
     ) >= compact_threshold:

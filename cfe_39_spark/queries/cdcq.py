@@ -357,3 +357,73 @@ def cdc11(spark, sf):
         .filter("rn = 1")
         .select("user_id", "max_offset", "n_events", "first_ts", "last_ts")
     )
+
+
+@register(
+    "cdc12_changelog_feed",
+    """WITH b AS (
+         SELECT *, NTILE(4) OVER (ORDER BY event_id) AS batch FROM events
+       ),
+       w AS (
+         SELECT batch, user_id, event_id, ts, event_type, value,
+                row_number() OVER (
+                  PARTITION BY batch, user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+         FROM b
+       )
+       SELECT CAST(user_id AS VARCHAR) AS doc_id,
+              batch,
+              event_id AS last_offset,
+              CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+                AS change_type,
+              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+       FROM w WHERE rn = 1""",
+)
+def cdc12(spark, sf):
+    """S10: incremental changelog scan — the table as a CDC *producer*.
+    The events table is split into 4 deterministic batches (ntile over
+    event_id) and replayed through the engine (merge-on-read); the
+    ``read_changes`` feed over the whole history must equal the per-batch
+    LWW winners the oracle computes declaratively.  This is the surface a
+    downstream table tails (see tests/test_changelog.py for the bit-for-bit
+    mirror round trip)."""
+    from ..sources.table import SequenceTable
+    from pyspark.sql import types as T
+
+    e = table(spark, sf, "events").withColumn(
+        "batch", F.ntile(4).over(Window.orderBy("event_id"))
+    )
+    ev = e.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("offset"),
+        F.lit(0).alias("src_partition"),
+        F.lit(0).cast("long").alias("epoch"),
+        F.lit(1).alias("schema_version"),
+        F.col("ts").alias("event_time"),
+        "value",
+        "batch",
+    ).persist()
+
+    user_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="cfe39-cdc12-")
+    t = SequenceTable.create(spark, os.path.join(d, "t"), n_buckets=4,
+                             user_schema=user_schema)
+    from ..operators.cdc import apply_batch
+
+    for i in (1, 2, 3, 4):
+        apply_batch(spark, t, ev.filter(F.col("batch") == i).drop("batch"), batch_id=i)
+    ev.unpersist()
+    feed = t.read_changes(spark, 1)
+    return feed.select(
+        "doc_id",
+        F.col("_commit_batch_id").cast("int").alias("batch"),
+        F.col("_last_offset").alias("last_offset"),
+        F.col("_change_type").alias("change_type"),
+        "value",
+    )

@@ -67,3 +67,48 @@ def remove_tree(path: str) -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
+
+
+class mutex:
+    """O_EXCL advisory lock (context manager) for the commit critical
+    section: on a POSIX FS, ``open(O_CREAT|O_EXCL)`` is atomic, which
+    linearizes concurrent local writers; on an object store the same role
+    is played by the catalog's compare-and-swap (documented trade-off —
+    the lock guards only the metadata swap, never data writes, so the
+    held-time is milliseconds regardless of batch size)."""
+
+    def __init__(self, path: str, timeout_s: float = 30.0, stale_s: float = 60.0):
+        self.path = path
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s  # break locks left by a crashed holder
+
+    def __enter__(self):
+        import time
+
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    import time as _t
+
+                    if _t.time() - os.path.getmtime(self.path) > self.stale_s:
+                        os.unlink(self.path)  # crashed holder; break the lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock held too long: {self.path}")
+                time.sleep(0.01)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False

@@ -57,6 +57,13 @@ from . import fs
 EPOCH0 = "1970-01-01 00:00:00"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this writer planned its snapshot.
+    MOR applies recover by re-planning the carried manifest (cheap — their
+    delta files are parent-independent); COW applies must redo the merge
+    against the new parent."""
+
+
 def bucket_expr(doc_id_col: str, n_buckets: int):
     """The one true doc_id -> bucket function (computed JVM-side)."""
     return F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int")
@@ -77,6 +84,30 @@ def lww_resolve(df: DataFrame) -> DataFrame:
         df.groupBy("doc_id")
         .agg(packed.alias("_w"))
         .select([F.col(f"_w.{c}").alias(c) for c in cols])
+    )
+
+
+def changes_as_events(changes: DataFrame) -> DataFrame:
+    """Convert a ``read_changes`` feed back into a raw change-event batch
+    (the shape ``apply_batch`` ingests), closing the CDC loop: table A's
+    changelog becomes table B's input log.  The ordering pair survives the
+    round trip ((_last_event_time, _last_offset) -> (event_time, offset)),
+    so a chained apply reaches the exact same LWW outcome as the original."""
+    user_cols = [
+        c
+        for c in changes.columns
+        if c not in BOOKKEEPING_COLS
+        and c not in ("_change_type", "_commit_snapshot_id", "_commit_batch_id", "doc_id")
+    ]
+    return changes.select(
+        "doc_id",
+        F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("_last_offset").alias("offset"),
+        F.col("_last_event_time").alias("event_time"),
+        F.col("_last_epoch").alias("epoch"),
+        F.col("_commit_snapshot_id").cast("int").alias("src_partition"),
+        F.lit(1).alias("schema_version"),
+        *user_cols,
     )
 
 
@@ -307,11 +338,51 @@ class SequenceTable:
         new_schema: T.StructType | None = None,
         lineage: dict | None = None,
         n_buckets: int | None = None,
+        change_files: list[dict] | None = None,
+        expected_parent_id: int | None = None,
+    ) -> int:
+        """``change_files``: manifest entries holding this commit's logical
+        change rows (the CDC feed, S10).  Kept OUTSIDE ``files`` so state
+        reads never see them; a merge-on-read apply passes its delta
+        entries (the deltas ARE the change data — zero extra write), a
+        copy-on-write apply writes an explicit change set.  Maintenance
+        commits (compaction/rebucket) pass none: they change no logical
+        row, and ``read_changes`` correctly skips them.
+
+        ``expected_parent_id``: optimistic-concurrency guard — raise
+        ``CommitConflictError`` if another writer committed since this
+        writer planned against that snapshot (Iceberg's CAS-on-metadata
+        role).  The whole critical section (probe -> descriptor -> pointer
+        swap -> log line) runs under an O_EXCL metadata lock, so concurrent
+        local writers are linearized; the lock guards milliseconds of
+        metadata IO, never data writes."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            return self._commit_locked(
+                batch_id, new_files, carried_files, schema_version, new_schema,
+                lineage, n_buckets, change_files, expected_parent_id,
+            )
+
+    def _commit_locked(
+        self,
+        batch_id: str,
+        new_files: list[dict],
+        carried_files: list[dict],
+        schema_version: int | None,
+        new_schema: T.StructType | None,
+        lineage: dict | None,
+        n_buckets: int | None,
+        change_files: list[dict] | None,
+        expected_parent_id: int | None,
     ) -> int:
         existing = self.find_batch(str(batch_id))
         if existing is not None:
             return existing  # replayed batch: no-op (exactly-once layer 1)
         parent = self.snapshot()
+        if expected_parent_id is not None and parent["snapshot_id"] != expected_parent_id:
+            raise CommitConflictError(
+                f"planned against snapshot {expected_parent_id}, "
+                f"but latest is {parent['snapshot_id']}"
+            )
         # a crash after descriptor write but before pointer swap leaves an
         # orphan snap-N.json; never reuse its id
         taken = [
@@ -330,6 +401,7 @@ class SequenceTable:
             "schema_version": sv,
             "schemas": schemas,
             "files": carried_files + new_files,
+            "change_files": change_files or [],
             "lineage": lineage or {},
         }
         fs.write_json_atomic(self._snap_path(sid), snap)
@@ -413,6 +485,80 @@ class SequenceTable:
             .select(user_cols)
         )
 
+    # ------------------------------------------------------------------ #
+    # incremental changelog scan (S10) — the CDC *read* surface
+    # ------------------------------------------------------------------ #
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        net: bool = False,
+    ) -> DataFrame:
+        """Change rows committed AFTER ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: latest) — the Iceberg
+        incremental-scan / Delta-CDF role, which turns the table into a
+        change-event *producer* so downstream tables can tail it
+        (``changes_as_events`` converts the feed back to a raw event batch
+        for ``apply_batch``).
+
+        Each emitted row is one committed winner: user columns plus
+        ``_change_type`` ('upsert' | 'delete'), the ordering pair
+        (``_last_event_time``, ``_last_offset``) consumers resolve by, and
+        ``_commit_snapshot_id`` / ``_commit_batch_id`` provenance.  In
+        merge-on-read commits a stale winner that later loses at read-time
+        resolution is still part of the feed (same redelivery semantics the
+        write side has) — downstream consumers apply the same LWW rule, so
+        the net state is unaffected.  ``net=True`` collapses the span to
+        one final row per key driver-side of the consumer (one hash agg).
+
+        Cost: O(changed rows in the span) — only change files are read,
+        never table state; at 10^10 rows an incremental consumer pays for
+        its delta, not the table.
+        """
+        to_sid = to_snapshot_id if to_snapshot_id is not None else self.latest_snapshot_id()
+        target = self.snapshot(to_sid)
+        span: list[dict] = []
+        sid: int | None = to_sid
+        while sid is not None and sid != from_snapshot_id:
+            s = self.snapshot(sid)
+            span.append(s)
+            sid = s["parent_id"]
+        if sid is None and from_snapshot_id != 0:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}"
+            )
+        schema = storage_schema(self.user_schema(target))
+        parts = []
+        for s in reversed(span):  # oldest commit first
+            entries = s.get("change_files") or []
+            if not entries:
+                continue
+            df = self._read_files(spark, target, entries, user_schema=self.user_schema(target))
+            parts.append(
+                df.withColumn("_commit_snapshot_id", F.lit(s["snapshot_id"]).cast("long"))
+                .withColumn("_commit_batch_id", F.lit(s["batch_id"]))
+            )
+        if not parts:
+            empty = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_commit_snapshot_id", T.LongType()),
+                    T.StructField("_commit_batch_id", T.StringType()),
+                    T.StructField("_change_type", T.StringType()),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if net:
+            out = lww_resolve(out)
+        return out.withColumn(
+            "_change_type",
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+        )
+
     def plan_merge_files(
         self, snap: dict, touched_buckets: set[int], key_bounds: dict[int, tuple[str, str]]
     ) -> tuple[list[dict], list[dict]]:
@@ -492,6 +638,9 @@ class SequenceTable:
             new_files,
             rest,
             lineage={"compacted_buckets": buckets},
+            # fail loudly rather than silently dropping a concurrent
+            # writer's files from the carried manifest
+            expected_parent_id=snap["snapshot_id"],
         )
 
     # ------------------------------------------------------------------ #
@@ -532,6 +681,7 @@ class SequenceTable:
             [],
             lineage={"rebucket_from": snap["n_buckets"], "rebucket_to": new_n_buckets},
             n_buckets=new_n_buckets,
+            expected_parent_id=snap["snapshot_id"],
         )
 
     # ------------------------------------------------------------------ #
@@ -545,7 +695,7 @@ class SequenceTable:
         live_dirs = {
             os.path.dirname(os.path.join(self.root, e["path"]))
             for s in keep
-            for e in s["files"]
+            for e in (s["files"] + s.get("change_files", []))
         }
         live_commit_dirs = {os.path.dirname(d) for d in live_dirs}
         removed_files = 0

@@ -1,0 +1,99 @@
+"""Incremental changelog scan (S10): the table as a CDC *producer*.
+
+read_changes must (1) emit exactly the committed change rows of a span,
+(2) skip maintenance commits, and (3) round-trip: piping table A's feed
+through changes_as_events -> apply_batch into table B reproduces A's state
+bit-for-bit — the Iceberg-incremental-scan / Delta-CDF role."""
+
+import glob
+
+import pytest
+
+from cfe_39_spark.fixtures import GenConfig, write_fixture
+from cfe_39_spark.operators.cdc import apply_batch
+from cfe_39_spark.sources.table import SequenceTable, changes_as_events
+
+from .util import assert_state_equal
+
+
+def _replayed(spark, tmp_path, cfg, mode):
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    a = SequenceTable.create(spark, str(tmp_path / "a"), init, n_buckets=4)
+    for i, seg in enumerate(sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))):
+        apply_batch(spark, a, spark.read.parquet(seg), batch_id=i, mode=mode)
+    b = SequenceTable.create(spark, str(tmp_path / "b"), init, n_buckets=4)
+    return a, b, fx
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_changelog_mirror_bit_for_bit(spark, tmp_path, mode):
+    """Per-commit incremental consumption: apply each commit's feed into a
+    mirror table; the mirror must equal the source bit-for-bit."""
+    cfg = GenConfig(n_docs_initial=25, n_events=160, n_segments=4, dup_rate=0.2,
+                    key_dist="hot", shuffle_within_segments=True, seed=71)
+    a, b, fx = _replayed(spark, tmp_path, cfg, mode)
+    chain = list(reversed(a.committed_chain()))  # oldest first
+    for parent, cur in zip(chain, chain[1:]):
+        feed = a.read_changes(spark, parent["snapshot_id"], cur["snapshot_id"])
+        apply_batch(spark, b, changes_as_events(feed), batch_id=f"m-{cur['snapshot_id']}")
+    assert_state_equal(b.read(spark), fx["expected"])
+    assert_state_equal(a.read(spark), fx["expected"])
+
+
+def test_changelog_full_span_single_batch(spark, tmp_path):
+    """One read_changes over the whole history applied as ONE batch reaches
+    the same state (the LWW ordering pair survives the round trip)."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, dup_rate=0.15, seed=73)
+    a, b, fx = _replayed(spark, tmp_path, cfg, "mor")
+    feed = a.read_changes(spark, 1)  # everything after table creation
+    apply_batch(spark, b, changes_as_events(feed), batch_id="full-span")
+    assert_state_equal(b.read(spark), fx["expected"])
+
+
+def test_changelog_net_collapses_to_one_row_per_key(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, dup_rate=0.15, seed=75)
+    a, _, _ = _replayed(spark, tmp_path, cfg, "mor")
+    net = a.read_changes(spark, 1, net=True)
+    assert net.count() == net.select("doc_id").distinct().count()
+    # net feed agrees with table state on every surviving upsert key
+    live = net.filter("_change_type = 'upsert'").select("doc_id", "n_tok")
+    state = a.read(spark).select("doc_id", "n_tok")
+    joined = live.join(state, "doc_id", "inner")
+    assert joined.count() == live.count()
+
+
+def test_changelog_cow_counts_match_lineage(spark, tmp_path):
+    """COW writes an explicit change set; its row count must equal the
+    lineage's rows_applied (only rows passing the C4 filter are changes)."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, dup_rate=0.25, seed=77)
+    a, _, _ = _replayed(spark, tmp_path, cfg, "cow")
+    chain = list(reversed(a.committed_chain()))
+    checked = 0
+    for parent, cur in zip(chain, chain[1:]):
+        feed = a.read_changes(spark, parent["snapshot_id"], cur["snapshot_id"])
+        assert feed.count() == cur["lineage"]["rows_applied"]
+        checked += 1
+    assert checked >= 3
+
+
+def test_changelog_skips_maintenance_commits(spark, tmp_path):
+    """Compaction and rebucket change no logical row: the feed over a span
+    containing them must contain only real batch changes, and a mirror fed
+    across them still converges."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3, dup_rate=0.2, seed=79)
+    a, b, fx = _replayed(spark, tmp_path, cfg, "mor")
+    pre = a.latest_snapshot_id()
+    assert a.compact(spark) is not None
+    assert a.rebucket(spark, 8) is not None
+    assert a.read_changes(spark, pre).count() == 0
+    feed = a.read_changes(spark, 1)  # spans applies + compact + rebucket
+    apply_batch(spark, b, changes_as_events(feed), batch_id="post-maint")
+    assert_state_equal(b.read(spark), fx["expected"])
+
+
+def test_changelog_rejects_non_ancestor(spark, tmp_path):
+    cfg = GenConfig(n_docs_initial=10, n_events=40, n_segments=1, seed=81)
+    a, _, _ = _replayed(spark, tmp_path, cfg, "mor")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        a.read_changes(spark, 10**6)
