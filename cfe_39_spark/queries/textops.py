@@ -176,3 +176,59 @@ def tx05(spark, sf):
     family is engine-private).  Demonstrates the mandated Arrow path."""
     d = table(spark, sf, "documents")
     return d.select("doc_id", _rolling_fp(F.col("text")).alias("rolling_fp"))
+
+
+@register(
+    "tx06_sequence_packing",
+    """WITH t AS (
+         SELECT doc_id, source, doc_id % 8 AS shard,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+         FROM documents),
+       o AS (
+         SELECT doc_id, source, shard, n_tok,
+                SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+         FROM t)
+       SELECT source, shard,
+              CAST(FLOOR(start_off / 512.0) AS BIGINT) AS seq_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+              min(doc_id) AS first_doc,
+              max(doc_id) AS last_doc
+       FROM o GROUP BY 1, 2, 3""",
+)
+def tx06(spark, sf):
+    """Training-sequence packing (GPT-style stream chunking): concatenate
+    each (source, shard) document stream in doc_id order and cut it into
+    L=512-token sequences; a doc belongs to the chunk its first token
+    lands in.  Expressed as one running-sum window + one hash aggregation
+    — no UDF, no iteration.
+
+    Scale shape: the running sum is inherently sequential PER STREAM, so
+    the streams must outnumber the cluster — sharding by ``doc_id % 8``
+    here stands in for the production layout (hash-sharded streams, one
+    window partition each, hundreds per executor at 100 TB).  Packing
+    quality is the same as any next-fit scheme; pipelines that need
+    tighter fill switch to offline first-fit-decreasing per shard, which
+    is the applyInPandas escape hatch (U2), not a different plan shape."""
+    L = 512
+    d = table(spark, sf, "documents")
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 8).alias("shard"),
+        nw.alias("n_tok"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    o = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        o.withColumn("seq_id", F.floor(F.col("start_off") / L))
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
