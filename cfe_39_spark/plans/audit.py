@@ -46,5 +46,8 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle-exchange count — the scale-cost headline of a plan."""
-    return plan_string(df).count("Exchange hashpartitioning")
+    """Shuffle-exchange count — the scale-cost headline of a plan.
+    Counts the PHYSICAL plan only (plan_string also embeds the optimizer's
+    rendering of the same plan, which would double-count)."""
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    return physical.count("Exchange hashpartitioning")

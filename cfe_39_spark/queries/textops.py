@@ -232,3 +232,76 @@ def tx06(spark, sf):
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# BPE-style pre-tokenizer pieces: a letter run, a digit run, or a
+# punctuation run, each optionally absorbing one leading space (the GPT-2
+# pretokenizer shape, minus contraction special-cases and Unicode classes
+# so Java regex and RE2 count identically)
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "tx07_bpe_token_count",
+    f"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+              ROUND(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                    / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS fertility
+       FROM documents""",
+)
+def tx07(spark, sf):
+    """Token counting, BPE-ish half (brief: 'token counting (whitespace +
+    a BPE-ish regex)'): count pre-tokenizer pieces under a GPT-2-shaped
+    regex and report fertility (pieces per whitespace word) — the number a
+    corpus pipeline uses to budget training tokens before running the real
+    tokenizer.  One JVM ``regexp_count`` per row, no UDF, trivially
+    data-parallel at 100 TB."""
+    d = table(spark, sf, "documents")
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    nb = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+    return d.select(
+        "doc_id",
+        nb.alias("n_bpe"),
+        nw.alias("n_words"),
+        F.round(nb / nw, 4).alias("fertility"),
+    )
+
+
+@register(
+    "tx08_vocabulary",
+    """WITH w AS (
+         SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word,
+                doc_id
+         FROM documents)
+       SELECT word,
+              CAST(count(*) AS BIGINT) AS tf,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM w GROUP BY word
+       ORDER BY tf DESC, word LIMIT 100""",
+)
+def tx08(spark, sf):
+    """Vocabulary builder: corpus-wide term and document frequency, top-100
+    by tf — the tokenizer-training / stopword-mining pass.  Word counts are
+    Zipf-skewed by nature, and the plan absorbs that structurally: explode
+    → partial HashAggregate collapses each hot word to one row per map
+    task before the shuffle, so the reducer holding 'the' receives
+    n_tasks rows, not n_occurrences; the top-100 is TakeOrderedAndProject
+    (no global sort).  The exact doc-frequency forces Catalyst's two-level
+    distinct rewrite (dedup on (word, doc_id) first, partial-combined the
+    same way); pipelines that can tolerate ±2% swap it for
+    approx_count_distinct and save that level."""
+    d = table(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "word")
+        .limit(100)
+    )

@@ -54,6 +54,18 @@ def test_no_python_udf_in_hot_queries(spark, name):
     assert python_eval_nodes(REGISTRY[name].fn(spark, SF)) == []
 
 
+def test_sequence_packing_reuses_one_shuffle(spark):
+    """tx06's groupBy keys (source, shard, seq_id) superset its window
+    partition keys (source, shard), so the window's hashpartitioning
+    already satisfies the aggregation's clustering — the whole query must
+    plan exactly ONE shuffle.  A second exchange here would double the
+    shuffle volume of every packing run at 100 TB."""
+    from cfe_39_spark.plans import count_exchanges
+
+    df = REGISTRY["tx06_sequence_packing"].fn(spark, SF)
+    assert count_exchanges(df) == 1, plan(df)
+
+
 def test_merge_file_pruning_unit():
     from cfe_39_spark.sources.table import SequenceTable
 

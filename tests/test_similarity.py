@@ -26,6 +26,7 @@ def test_ivf_recall_vs_bruteforce(spark):
     truth = _pairs(spark, "sim01_cosine_topk")
     got = _pairs(spark, "sim04_ivf_topk")
     recall = len(truth & got) / len(truth)
-    # single-cell search with nprobe=1 and naive centroids: weaker by
-    # design; the floor documents the configuration's honest accuracy
-    assert recall >= 0.2, f"sim04 recall {recall:.2f} < 0.2"
+    # k-means centroids + nprobe=2 of 8 cells on 500 near-isotropic
+    # synthetic 64-d vectors: measured 0.5 (random cell choice would give
+    # ~nprobe/N_CELLS = 0.25); 0.35 is the regression floor
+    assert recall >= 0.35, f"sim04 recall {recall:.2f} < 0.35"
