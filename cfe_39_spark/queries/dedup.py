@@ -72,9 +72,7 @@ def dd01(spark, sf):
     )
 
 
-@register(
-    "dd02_ngram_jaccard",
-    f"""WITH {_SHINGLE_SQL},
+_DD02_SQL = f"""WITH {_SHINGLE_SQL},
        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {DF_CUT}),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -84,8 +82,10 @@ def dd01(spark, sf):
        SELECT doc_a, doc_b,
               ROUND(c / (x.n + y.n - c), 4) AS jaccard
        FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-       WHERE c / (x.n + y.n - c) >= 0.5""",
-)
+       WHERE c / (x.n + y.n - c) >= 0.5"""
+
+
+@register("dd02_ngram_jaccard", _DD02_SQL)
 def dd02(spark, sf):
     """n-gram Jaccard near-dup, group-and-expand form: explode shingles
     ONCE, group by shingle collecting the (sorted) doc list, drop groups
@@ -307,4 +307,75 @@ def dd05(spark, sf):
     hamming = F.bit_count(F.expr("sa ^ sb"))
     return cand.filter(hamming <= HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
+@register(
+    "dd06_neardup_clusters",
+    f"""WITH RECURSIVE pairs AS ({_DD02_SQL}),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       r AS (SELECT doc, doc AS reach FROM nodes
+             UNION
+             SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.reach)
+       SELECT doc AS doc_id,
+              CAST(min(reach) AS BIGINT) AS cluster_id,
+              (doc = min(reach)) AS is_keeper
+       FROM r GROUP BY doc""",
+)
+def dd06(spark, sf):
+    """Near-dup CLUSTERING — the step that turns pair lists into keep/drop
+    decisions: connected components over the dd02 Jaccard-verified edges
+    via min-label propagation (HashMin / Pregel shape).  Labels start at
+    doc_id; each round every node takes the min of its own and its
+    neighbors' labels (one equi-join + one hash agg — both shuffles on the
+    node key); fixpoint after O(component diameter) rounds, checked with a
+    bounded driver-side probe (`LIMIT 1` on changed rows, not a collect of
+    the data).  Keeper = the component's min doc_id.
+
+    Scale shape: dedup components are overwhelmingly tiny (pairs/triples),
+    so diameter is small and each round touches only nodes that appear in
+    some edge — a vanishing fraction of the corpus.  Web-scale hardening
+    (documented, not needed here): alternating large-star/small-star
+    rounds (Kiveris et al.) bound the hub-node fan-in the same way dd02's
+    df-cut bounds stop-shingles.  The DuckDB oracle computes the same
+    components by recursive reachability closure."""
+    p = dd02(spark, sf).select("doc_a", "doc_b")
+    edges = (
+        p.union(p.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # reused every round; cut dd02's plan off
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc"])
+            .groupBy(F.col("dst").alias("ndoc"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels["doc"] == nbr["ndoc"], "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage growth
+        )
+        converged = new.filter("chg").limit(1).count() == 0
+        labels = new.drop("chg")
+        if converged:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_keeper"),
     )

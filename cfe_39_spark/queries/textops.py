@@ -305,3 +305,74 @@ def tx08(spark, sf):
         .orderBy(F.col("tf").desc(), "word")
         .limit(100)
     )
+
+
+# tx09 per-source sampling rates cycle 25/50/75/100% by source index; the
+# accept test is a STRING compare of the first 4 md5 hex chars against the
+# rate's 16-bit threshold ('g' > 'f' accepts everything for rate 1.0) —
+# exact, engine-agnostic, no RNG
+_MIX_THRESHOLDS = {0: "'4000'", 1: "'8000'", 2: "'c000'", 3: "'g'"}
+_MIX_RATE = {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0}
+
+
+def _mix_threshold_case(idx_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in _MIX_THRESHOLDS.items()
+    )
+    return f"CASE ({idx_expr}) % 4 {arms} END"
+
+
+@register(
+    "tx09_corpus_mix",
+    f"""WITH t AS (
+         SELECT source,
+                CAST(substr(source, 4) AS INT) AS idx,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+                n_chars
+         FROM documents)
+       SELECT source,
+              ROUND((idx % 4 + 1) / 4.0, 2) AS rate,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN h < {_mix_threshold_case("idx")}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+              CAST(sum(CASE WHEN h < {_mix_threshold_case("idx")}
+                            THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+       FROM t GROUP BY source, idx""",
+)
+def tx09(spark, sf):
+    """Deterministic corpus-mix sampling: each source gets a mixture rate
+    (cycling 25/50/75/100 % off its index — stand-in for the per-source
+    weights a data-mixing recipe assigns) and a document is kept iff the
+    first 16 bits of md5(doc_id) fall under the rate threshold.  Hash
+    gating, not rand(): the sample is reproducible across runs, engines
+    and cluster sizes, composes with incremental ingest (a re-fed doc
+    makes the same decision), and needs no per-row state.  Pure map +
+    one aggregation; at 100 TB the filter rides the scan."""
+    d = table(spark, sf, "documents")
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = (
+        F.when(idx % 4 == 0, "4000")
+        .when(idx % 4 == 1, "8000")
+        .when(idx % 4 == 2, "c000")
+        .otherwise("g")
+    )
+    keep = h < thr
+    return (
+        d.select("source", idx.alias("idx"), F.col("n_chars"), keep.alias("keep"))
+        .groupBy("source", "idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "chars_sampled"
+            ),
+        )
+        .select(
+            "source",
+            F.round((F.col("idx") % 4 + 1) / 4.0, 2).alias("rate"),
+            "n_docs",
+            "n_sampled",
+            "chars_sampled",
+        )
+    )
