@@ -180,8 +180,18 @@ def apply_batch(
     n_salts: int = 8,
     mode: str = "mor",
     compact_threshold: int | None = 16,
+    known_partitions: list[int] | None = None,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the table, exactly once.
+
+    ``known_partitions``: the source's partition ids when the caller knows
+    them (a Kafka consumer always does — topic partition count).  With the
+    hint, the per-partition lineage stats ride the delta-write job itself
+    via a second ``Observation`` on the events relation, dropping the MOR
+    hot path from two Spark jobs per trigger to ONE — the job-scheduling
+    floor is exactly what caps streaming scaling efficiency (BENCH.md §1).
+    Events outside the hinted set are detected from the observed totals
+    and fall back to the grouped stats job (correct, just not fused).
 
     Idempotent on batch_id (S6): a replayed batch returns the existing
     snapshot without touching data.  Row-level idempotency (C4) comes from
@@ -215,6 +225,36 @@ def apply_batch(
 
     # ---- C7: reconcile schemas (metadata-only; no data rewrite) ----
     new_schema, changes = evolve_schema(table_schema, events.schema)
+
+    if mode == "mor" and known_partitions is not None:
+        # fused-stats fast path: lineage stats + batch schema_version are
+        # observed DURING the delta-write scan — no separate stats job
+        parts_hint = sorted(set(known_partitions))
+        obs_ev = Observation()
+        events_obs = events.observe(
+            obs_ev,
+            F.max("schema_version").alias("sv"),
+            F.count(F.lit(1)).alias("n_total"),
+            *[
+                a
+                for p in parts_hint
+                for a in (
+                    F.min(
+                        F.when(F.col("src_partition") == p, F.col("offset"))
+                    ).alias(f"mn{p}"),
+                    F.max(
+                        F.when(F.col("src_partition") == p, F.col("offset"))
+                    ).alias(f"mx{p}"),
+                    F.count_if(F.col("src_partition") == p).alias(f"n{p}"),
+                )
+            ],
+        )
+        winners = lww_winners(events_obs, lww_strategy, n_salts)
+        return _apply_mor(
+            spark, table, winners, bid, snap, new_schema, None, None,
+            None, t0, compact_threshold,
+            changes=changes, obs_ev=obs_ev, parts_hint=parts_hint, events=events,
+        )
 
     # ---- C6: ONE column-pruned job for lineage stats + the batch's max
     # schema_version (offset/src_partition/schema_version only — the token
@@ -395,11 +435,15 @@ def _apply_mor(
     bid: str,
     snap: dict,
     new_schema: T.StructType,
-    sv: int,
+    sv: int | None,
     register: T.StructType | None,
-    prog: list,
+    prog: list | None,
     t0: float,
     compact_threshold: int | None,
+    changes: list[str] | None = None,
+    obs_ev: Observation | None = None,
+    parts_hint: list[int] | None = None,
+    events: DataFrame | None = None,
 ) -> ApplyResult:
     """Merge-on-read apply: stamp the winners with bookkeeping columns and
     commit them as delta files — no table read, no rewrite, O(batch) per
@@ -438,7 +482,11 @@ def _apply_mor(
     # aggregates collected during the action) — no persist, no second scan;
     # this is per-trigger serial floor, and the floor is what caps
     # streaming scaling efficiency (BENCH.md §1)
-    parts = sorted({r["src_partition"] for r in prog})
+    parts = (
+        list(parts_hint)
+        if obs_ev is not None
+        else sorted({r["src_partition"] for r in prog})
+    )
     obs = Observation()
     if parts:
         winners = winners.observe(
@@ -457,11 +505,50 @@ def _apply_mor(
         # untrusted (UDFs are the slow path; prefer built-ins).
         delta = validate_tokens_arrow(delta)
     t_w = time.monotonic()
-    new_files = table._write_data_files(delta, n_buckets, sv, batch_tag=bid, kind="delta")
+    new_files = table._write_data_files(
+        delta, n_buckets, sv if sv is not None else 0, batch_tag=bid, kind="delta"
+    )
     got = obs.get if parts else {}
     applied_rows = [
         {"src_partition": p, "count": int(got.get(f"p{p}", 0))} for p in parts
     ]
+    if obs_ev is not None:
+        # fused-stats path: lineage stats and the batch's max
+        # schema_version were observed during the write scan above
+        got_ev = obs_ev.get
+        sv = max(int(got_ev["sv"] or 0), snap["schema_version"])
+        register = new_schema if (changes or sv > snap["schema_version"]) else None
+        for e in new_files:
+            e["schema_version"] = sv
+        prog = [
+            {
+                "src_partition": p,
+                "min_offset": got_ev[f"mn{p}"],
+                "max_offset": got_ev[f"mx{p}"],
+                "events_in": int(got_ev[f"n{p}"]),
+            }
+            for p in parts
+            if int(got_ev[f"n{p}"]) > 0
+        ]
+        if int(got_ev["n_total"]) != sum(r["events_in"] for r in prog):
+            # events outside the hinted partition set: recompute stats +
+            # winner counts the exact way (two extra jobs — the rare
+            # correction path; the data write above is already correct)
+            prog = (
+                events.groupBy("src_partition")
+                .agg(
+                    F.min("offset").alias("min_offset"),
+                    F.max("offset").alias("max_offset"),
+                    F.count(F.lit(1)).alias("events_in"),
+                )
+                .collect()
+            )
+            applied_rows = (
+                lww_winners(events)
+                .groupBy("src_partition")
+                .count()
+                .collect()
+            )
     t_c = time.monotonic()
     per_partition = _per_partition(prog, applied_rows)
     events_in = sum(p["events_in"] for p in per_partition)

@@ -58,6 +58,8 @@ def table(
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        # file count proxies scan partitions for single-row-group files and
+        # avoids instantiating the RDD lineage just to count partitions
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     return df

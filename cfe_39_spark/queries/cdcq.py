@@ -210,43 +210,43 @@ def cdc07(spark, sf):
 
 
 @register(
-    "cdc08_tumbling_window",
-    """SELECT date_trunc('hour', ts) AS window_start,
+    "cdc08_windows",
+    """SELECT 'tumbling' AS kind,
+              date_trunc('hour', ts) AS window_start,
               CAST(count(*) AS BIGINT) AS n_events,
               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                 AS total_cents
-       FROM events GROUP BY 1""",
+       FROM events GROUP BY 2
+       UNION ALL
+       SELECT 'sliding' AS kind,
+              date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS total_cents
+       FROM events, (SELECT unnest(range(0, 2)) AS i)
+       GROUP BY 2""",
 )
 def cdc08(spark, sf):
-    """T2: tumbling event-time window aggregation (the batch shape of the
-    streaming throughput metric); F.window == date_trunc for aligned
-    1-hour tumbles."""
+    """T2+T3 event-time windows, tagged: 1-hour tumbling (the batch shape
+    of the streaming throughput metric; F.window == date_trunc for
+    aligned tumbles) unioned with a 2h/1h sliding window — each event
+    lands in two overlapping windows; the oracle materializes the same
+    windows via the truncate-minus-offset identity."""
     e = table(spark, sf, "events")
-    return (
+    cents = F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents")
+    tumb = (
         e.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents"),
+        .agg(F.count(F.lit(1)).alias("n_events"), cents)
+        .select(F.lit("tumbling").alias("kind"), "*")
+    )
+    slide = (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").getField("start").alias("window_start")
         )
+        .agg(F.count(F.lit(1)).alias("n_events"), cents)
+        .select(F.lit("sliding").alias("kind"), "*")
     )
-
-
-@register(
-    "cdc08b_sliding_window",
-    """SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
-              CAST(count(*) AS BIGINT) AS n_events
-       FROM events, (SELECT unnest(range(0, 2)) AS i)
-       GROUP BY 1""",
-)
-def cdc08b(spark, sf):
-    """T3: sliding event-time window (2h size, 1h slide) — each event lands
-    in two overlapping windows; the oracle materializes the same windows
-    via the truncate-minus-offset identity."""
-    e = table(spark, sf, "events")
-    return (
-        e.groupBy(F.window("ts", "2 hours", "1 hour").getField("start").alias("window_start"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    return tumb.unionByName(slide)
 
 
 @register(

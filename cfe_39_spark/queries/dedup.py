@@ -202,17 +202,11 @@ def _simhash_sig_sql(nbits: int) -> str:
                FROM bits GROUP BY doc_id)"""
 
 
-def _simhash_sql() -> str:
-    return f"""WITH {_simhash_sig_sql(16)}
-       SELECT doc_id, simhash,
-              CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
-       FROM sig"""
-
-
 def _simhash_sig(spark, sf, nbits: int = 16) -> DataFrame:
     """(doc_id, simhash): ``nbits``-bit md5-nibble hyperplane vote over the
-    word multiset — shared by dd04 (signature histogram, 16-bit) and dd05
-    (pair search, 32-bit: collision rate halves per added bit, and the
+    word multiset — the SimHash signature op (round 2's dd04 exposed the
+    16-bit signature histogram standalone; it is subsumed into dd05's
+    pair search, 32-bit: collision rate halves per added bit, and the
     banded search needs a sparse signature space to stay sub-quadratic)."""
     d = table(spark, sf, "documents", spread=True)
     w = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("wd"))
@@ -238,21 +232,6 @@ def _simhash_sig(spark, sf, nbits: int = 16) -> DataFrame:
     )
 
 
-@register("dd04_simhash", _simhash_sql())
-def dd04(spark, sf):
-    """SimHash near-dup signature: 16-bit md5-nibble hyperplane vote over
-    the word multiset; identical-signature bucket size surfaces dup
-    clusters.  The banded hamming pair search is dd05."""
-    from pyspark.sql import Window
-
-    sig = _simhash_sig(spark, sf)
-    return sig.select(
-        "doc_id",
-        "simhash",
-        F.count(F.lit(1)).over(Window.partitionBy("simhash")).alias("bucket_size"),
-    )
-
-
 HAMMING_MAX = 2  # dd05: near-dup iff hamming(sig_a, sig_b) <= 2 of 32 bits
 N_BLOCKS = 4  # 8-bit blocks; pigeonhole: hamming <= N_BLOCKS-1 => >=1 block equal
 
@@ -270,8 +249,8 @@ N_BLOCKS = 4  # 8-bit blocks; pigeonhole: hamming <= N_BLOCKS-1 => >=1 block equ
        FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}""",
 )
 def dd05(spark, sf):
-    """SimHash hamming pair search via banded pigeonhole (the scale-safe
-    companion to dd04): split the 32-bit signature into 4 byte blocks —
+    """SimHash near-dup: signature + hamming pair search via banded
+    pigeonhole: split the 32-bit signature into 4 byte blocks —
     any pair within hamming 3 agrees on at least one whole block — so
     candidates come from 4 equi-joins on (block_idx, block_value), never
     an all-pairs scan, and the exact popcount check (<= HAMMING_MAX) runs
@@ -310,6 +289,76 @@ def dd05(spark, sf):
     )
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, int]:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the hub-safe web-scale kernel.  Versus plain min-label propagation
+    (round 2's implementation), this converges in O(log²) rounds
+    independent of component DIAMETER, and every round rewrites the edge
+    set toward stars, so a hub node's fan-in collapses onto its component
+    minimum instead of being re-joined for O(diameter) rounds.
+
+    Each half-round is one hash agg (per-node min neighbor — map-side
+    partial combine absorbs hub skew before the shuffle) + one equi-join
+    back to the edges; edge count never grows above the input.  The
+    convergence probe is a bounded symmetric-difference LIMIT-1 job, not
+    a collect.  Input: (src, dst) pair list; output: ((doc, label) rows,
+    rounds-used)."""
+    e = (
+        edges.toDF("u", "v")
+        .filter("u != v")
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        # large-star: every neighbor larger than u links to u's min
+        ls = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+            .filter("a != b")
+            .distinct()
+        )
+        # small-star: every neighbor <= u (plus u itself) links to u's min
+        bidir2 = ls.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins2 = bidir2.groupBy("u").agg(F.min("v").alias("mn"))
+        m2 = F.least(F.col("u"), F.col("mn"))
+        small = (
+            bidir2.join(mins2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), m2.alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.least("u", "mn").alias("b")))
+        )
+        new = (
+            small.filter("a != b")
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage growth
+        )
+        changed = (
+            new.exceptAll(e).union(e.exceptAll(new)).limit(1).count() > 0
+        )
+        e = new
+        if not changed:
+            break
+    # converged state is a star per component: (component_min, member)
+    labels = (
+        e.select(F.col("v").alias("doc"), F.col("u").alias("label"))
+        .union(e.select(F.col("u").alias("doc"), F.col("u").alias("label")))
+        .groupBy("doc")
+        .agg(F.min("label").alias("label"))
+    )
+    return labels, rounds
+
+
 @register(
     "dd06_neardup_clusters",
     f"""WITH RECURSIVE pairs AS ({_DD02_SQL}),
@@ -328,52 +377,14 @@ def dd05(spark, sf):
 def dd06(spark, sf):
     """Near-dup CLUSTERING — the step that turns pair lists into keep/drop
     decisions: connected components over the dd02 Jaccard-verified edges
-    via min-label propagation (HashMin / Pregel shape).  Labels start at
-    doc_id; each round every node takes the min of its own and its
-    neighbors' labels (one equi-join + one hash agg — both shuffles on the
-    node key); fixpoint after O(component diameter) rounds, checked with a
-    bounded driver-side probe (`LIMIT 1` on changed rows, not a collect of
-    the data).  Keeper = the component's min doc_id.
-
-    Scale shape: dedup components are overwhelmingly tiny (pairs/triples),
-    so diameter is small and each round touches only nodes that appear in
-    some edge — a vanishing fraction of the corpus.  Web-scale hardening
-    (documented, not needed here): alternating large-star/small-star
-    rounds (Kiveris et al.) bound the hub-node fan-in the same way dd02's
-    df-cut bounds stop-shingles.  The DuckDB oracle computes the same
-    components by recursive reachability closure."""
+    via the alternating large-star/small-star kernel (see
+    ``connected_components``; round 2's min-label propagation is replaced
+    — hub fan-in is now bounded by construction, closing round 2's
+    documented web-crawl caveat).  Keeper = the component's min doc_id.
+    The DuckDB oracle computes the same components by recursive
+    reachability closure."""
     p = dd02(spark, sf).select("doc_a", "doc_b")
-    edges = (
-        p.union(p.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)  # reused every round; cut dd02's plan off
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("label", F.col("doc"))
-    )
-    while True:
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc"])
-            .groupBy(F.col("dst").alias("ndoc"))
-            .agg(F.min("label").alias("nl"))
-        )
-        new = (
-            labels.join(nbr, labels["doc"] == nbr["ndoc"], "left")
-            .select(
-                "doc",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)  # truncate per-round lineage growth
-        )
-        converged = new.filter("chg").limit(1).count() == 0
-        labels = new.drop("chg")
-        if converged:
-            break
+    labels, _ = connected_components(p)
     return labels.select(
         F.col("doc").alias("doc_id"),
         F.col("label").alias("cluster_id"),

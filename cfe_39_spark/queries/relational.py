@@ -15,19 +15,11 @@ from .base import register, table
 
 
 # ------------------------------------------------------------------ #
-# R1 scan + projection  /  R2 filter pushdown
+# R1 scan + projection / R2 filter pushdown (one query: the plan tests
+# assert BOTH the pruned ReadSchema and the PushedFilters list on it)
 # ------------------------------------------------------------------ #
 @register(
-    "r01_scan_projection",
-    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem""",
-)
-def r01(spark, sf):
-    """R1: column-pruned scan — ReadSchema must show exactly 3 columns."""
-    return table(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-
-
-@register(
-    "r02_filter_pushdown",
+    "r01_scan_filter_pushdown",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -35,8 +27,10 @@ def r01(spark, sf):
          AND l_returnflag IN ('A', 'R')
          AND l_quantity > 25""",
 )
-def r02(spark, sf):
-    """R2: conjunctive predicates — all pushed to the parquet scan."""
+def r01(spark, sf):
+    """R1+R2: column-pruned scan with conjunctive predicates — ReadSchema
+    shows only the 5 referenced columns and every filter is pushed to the
+    parquet scan (asserted in tests/test_plans.py)."""
     li = table(spark, sf, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= "1995-01-01")
@@ -166,33 +160,32 @@ def r06(spark, sf):
 # R7/R8/R9 semi / anti / outer joins
 # ------------------------------------------------------------------ #
 @register(
-    "r07_semi_join",
-    """SELECT c_custkey, c_mktsegment FROM customer c
-       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
-)
-def r07(spark, sf):
-    """R7: left-semi — customers with at least one order."""
-    c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment"
-    )
-
-
-@register(
-    "r08_anti_join",
-    """SELECT c_custkey, c_mktsegment FROM customer c
+    "r07_semi_anti_join",
+    """SELECT 'semi' AS op, c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       UNION ALL
+       SELECT 'anti' AS op, c_custkey, c_mktsegment FROM customer c
        WHERE NOT EXISTS (SELECT 1 FROM orders o
                          WHERE o.o_custkey = c.c_custkey
                            AND o.o_totalprice > 300000)""",
 )
-def r08(spark, sf):
-    """R8: left-anti — customers with no order above 300k."""
+def r07(spark, sf):
+    """R7+R8 existence joins, tagged: left-semi (customers with at least
+    one order) unioned with left-anti (customers with no order above
+    300k).  The physical plan contains BOTH a LeftSemi and a LeftAnti
+    join (asserted in tests/test_plans.py)."""
     c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
+    o = table(spark, sf, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_mktsegment")
     )
+    big = o.filter(F.col("o_totalprice") > 300000)
+    anti = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_mktsegment")
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -259,46 +252,30 @@ def r10(spark, sf):
     "r11_distinct",
     """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-              CAST(count(*) AS BIGINT)                  AS n_rows
-       FROM lineitem""",
-)
-def r11(spark, sf):
-    """R11: exact count-distinct (expand+two-phase agg under the hood)."""
-    li = table(spark, sf, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register(
-    "r11b_approx_distinct",
-    """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
-              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps_exact,
+              CAST(count(*) AS BIGINT)                  AS n_rows,
               true AS approx_within_5pct
        FROM lineitem""",
 )
-def r11b(spark, sf):
-    """R11 approx variant: HyperLogLog++ ``approx_count_distinct`` — the
-    sketch that replaces the exact expand+two-phase agg at 10^10 rows
-    (fixed-size state per partition, one tiny merge, no key shuffle).
-    The sketch estimate is engine-specific, so the oracled output is the
-    exact counts plus a bound check: both estimates within 5% of exact
-    (rsd pinned to 0.01, so 5% is a >4-sigma margin)."""
+def r11(spark, sf):
+    """R11 exact + approximate count-distinct in one pass: the exact
+    counts (expand + two-phase agg under the hood) next to HyperLogLog++
+    ``approx_count_distinct`` — the sketch that replaces the exact plan at
+    10^10 rows (fixed-size state per partition, one tiny merge, no key
+    shuffle).  The sketch estimate is engine-specific, so the oracled
+    output is the exact counts plus a bound check: both estimates within
+    5% of exact (rsd pinned to 0.01, so 5% is a >4-sigma margin)."""
     li = table(spark, sf, "lineitem")
     a = li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("as_"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
-        F.countDistinct("l_suppkey").alias("n_supps_exact"),
     )
     within = (
-        F.abs(F.col("ap") - F.col("n_parts_exact")) <= 0.05 * F.col("n_parts_exact")
-    ) & (F.abs(F.col("as_") - F.col("n_supps_exact")) <= 0.05 * F.col("n_supps_exact"))
-    return a.select(
-        "n_parts_exact", "n_supps_exact", within.alias("approx_within_5pct")
-    )
+        F.abs(F.col("ap") - F.col("n_parts")) <= 0.05 * F.col("n_parts")
+    ) & (F.abs(F.col("as_") - F.col("n_supps")) <= 0.05 * F.col("n_supps"))
+    return a.select("n_parts", "n_supps", "n_rows", within.alias("approx_within_5pct"))
 
 
 @register(
@@ -348,48 +325,33 @@ def r13(spark, sf):
 
 
 @register(
-    "r14_window_lag",
+    "r14_window_lag_frame",
     """SELECT o_custkey, o_orderkey,
               CAST(date_diff('day',
                 lag(o_orderdate) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS BIGINT) AS days_since_prev
-       FROM orders""",
-)
-def r14(spark, sf):
-    """R14: analytic window — gap in days between consecutive orders."""
-    o = table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
-        .cast("long")
-        .alias("days_since_prev"),
-    )
-
-
-@register(
-    "r15_window_frame",
-    """SELECT o_custkey, o_orderkey,
+                o_orderdate) AS BIGINT) AS days_since_prev,
               ROUND(sum(o_totalprice) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                 AS running_spend
        FROM orders""",
 )
-def r15(spark, sf):
-    """R15: explicit rowsBetween frame — running revenue per customer."""
+def r14(spark, sf):
+    """R14+R15 analytic windows over one shared (partition, order) spec:
+    lag (gap in days between consecutive orders) and an explicit
+    rowsBetween running-sum frame — Spark evaluates both in a single
+    Window node over one sort, no extra shuffle for the second column."""
     o = table(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.round(F.sum("o_totalprice").over(wf), 2).alias("running_spend"),
     )
 
 
@@ -410,26 +372,6 @@ def r16(spark, sf):
     )
 
 
-@register(
-    "r17_set_ops",
-    """SELECT o_custkey FROM orders
-       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-       INTERSECT
-       SELECT o_custkey FROM orders
-       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""",
-)
-def r17(spark, sf):
-    """R17: INTERSECT — customers ordering in both 1995 and 1996."""
-    o = table(spark, sf, "orders")
-    y95 = o.filter(
-        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
-    ).select("o_custkey")
-    y96 = o.filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
-    ).select("o_custkey")
-    return y95.intersect(y96)
-
-
 def _years(spark, sf):
     o = table(spark, sf, "orders")
     y95 = o.filter(
@@ -442,8 +384,15 @@ def _years(spark, sf):
 
 
 @register(
-    "r17b_set_ops_all",
-    """SELECT 'intersect_all' AS op, o_custkey FROM (
+    "r17_set_ops",
+    """SELECT 'intersect' AS op, o_custkey FROM (
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+       UNION ALL
+       SELECT 'intersect_all' AS op, o_custkey FROM (
          SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
          INTERSECT ALL
@@ -457,16 +406,18 @@ def _years(spark, sf):
          SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')""",
 )
-def r17b(spark, sf):
-    """R17 multiset variants: intersectAll/exceptAll — bag semantics keep
-    per-row multiplicity (one hash-count per side + min/difference on
-    counts under the hood; same single-shuffle cost class as distinct)."""
+def r17(spark, sf):
+    """R17 set operations, tagged: INTERSECT (set semantics) plus the
+    intersectAll/exceptAll multiset variants — bag semantics keep per-row
+    multiplicity (one hash-count per side + min/difference on counts
+    under the hood; same single-shuffle cost class as distinct)."""
     y95, y96 = _years(spark, sf)
-    inter = y95.intersectAll(y96).select(
+    inter = y95.intersect(y96).select(F.lit("intersect").alias("op"), "o_custkey")
+    inter_all = y95.intersectAll(y96).select(
         F.lit("intersect_all").alias("op"), "o_custkey"
     )
     exc = y95.exceptAll(y96).select(F.lit("except_all").alias("op"), "o_custkey")
-    return inter.unionByName(exc)
+    return inter.unionByName(inter_all).unionByName(exc)
 
 
 # ------------------------------------------------------------------ #
@@ -554,25 +505,36 @@ def r20(spark, sf):
 
 
 # ------------------------------------------------------------------ #
-# R21 arrays (higher-order), R22 maps, R23 JSON, R24 conditional
+# R21 arrays (higher-order) + R22 maps, R23 JSON, R24 conditional
 # ------------------------------------------------------------------ #
 @register(
-    "r21_array_funcs",
+    "r21_array_map_funcs",
     """SELECT o_orderkey,
               CAST(len(ks) AS INT) AS n_items,
               CAST(len(list_filter(ks, x -> x % 2 = 0)) AS INT) AS n_even,
               CAST(list_sum(list_transform(ks, x -> x * x)) AS BIGINT) AS sum_sq,
               CAST(ks[1] AS BIGINT) AS first_item,
-              CAST(list_max(ks) AS BIGINT) AS max_item
+              CAST(list_max(ks) AS BIGINT) AS max_item,
+              o_orderstatus AS status,
+              2 AS n_keys,
+              true AS has_prio
        FROM (
-         SELECT o_orderkey, range(o_orderkey % 7 + 1) AS ks FROM orders
+         SELECT o_orderkey, o_orderstatus, range(o_orderkey % 7 + 1) AS ks
+         FROM orders
        )""",
 )
 def r21(spark, sf):
-    """R21: higher-order array functions (transform/filter/aggregate) —
-    all JVM-side, same kernels the token pipeline uses (C8)."""
+    """R21 higher-order array functions (transform/filter/aggregate — all
+    JVM-side, same kernels the token pipeline uses, C8) plus R22 map
+    functions: a per-row map is built with create_map and read back via
+    element_at / map_keys / map_contains_key.  Raw map columns stringify
+    differently per engine, so the map is reduced to its scalar reads —
+    which the oracle CAN verify (round 2's r22 was rows-only)."""
     o = table(spark, sf, "orders")
     ks = F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 7)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
     return o.select(
         "o_orderkey",
         F.size(ks).alias("n_items"),
@@ -584,19 +546,6 @@ def r21(spark, sf):
         ).alias("sum_sq"),
         F.element_at(ks, 1).alias("first_item"),
         F.array_max(ks).alias("max_item"),
-    )
-
-
-@register("r22_map_funcs", None)  # map literals stringify differently per engine
-def r22(spark, sf):
-    """R22: map functions (rows-only check) — build a map per order, read it
-    back via element_at / map_keys."""
-    o = table(spark, sf, "orders")
-    m = F.create_map(
-        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
-    )
-    return o.select(
-        "o_orderkey",
         F.element_at(m, "status").alias("status"),
         F.size(F.map_keys(m)).alias("n_keys"),
         F.map_contains_key(m, "prio").alias("has_prio"),

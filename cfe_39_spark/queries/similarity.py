@@ -14,8 +14,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .base import register, table
 
-N_PLANES = 8  # hyperplane-LSH signature bits (sim03 bucket histogram)
-N_CELLS = 8  # IVF coarse cells (centroids = first N_CELLS vectors)
+N_CELLS = 8  # IVF coarse cells
 N_TABLES = 4  # sim05: LSH hash tables (recall booster: cand = union over tables)
 PLANES_PER_TABLE = 4  # sim05: signature bits per table -> 16 buckets/table
 
@@ -35,6 +34,16 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def cosine_raw(a: Column, b: Column) -> Column:
+    """Unrounded cosine for ENGINE-INTERNAL decisions (IVF cell
+    assignment): the index-ordered fold is already partition-independent,
+    and the 6-decimal rounding that makes oracle outputs cross-engine
+    comparable would erase the tiny within-cluster differences a
+    quantizer needs (a tight clump's members all tie after rounding and
+    the tie-break dumps them into one sub-cell)."""
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 # DuckDB mirror: positional unnest zips (vec_id, i, v) rows; dot = Σ v·v
@@ -86,95 +95,9 @@ def sim01(spark, sf):
     )
 
 
-@register(
-    "sim02_cosine_neardup",
-    f"""WITH {_EX_SQL},
-       dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS d
-                FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-                GROUP BY 1, 2)
-       SELECT vec_a, vec_b, ROUND(d / (x.n * y.n), 6) AS sim
-       FROM dots JOIN nrm x ON x.vec_id = vec_a JOIN nrm y ON y.vec_id = vec_b
-       WHERE ROUND(d / (x.n * y.n), 6) >= 0.4""",
-)
-def sim02(spark, sf):
-    """Embedding-cosine near-dup pairs (brief: 'embedding-cosine near-dup').
-
-    DEMO-ONLY / oracle-exact variant: the `vec_a < vec_b` join is a
-    BroadcastNestedLoopJoin over n²/2 pairs — never run this at corpus
-    scale.  The production path is sim05 (LSH-bucketed candidates, exact
-    cosine verify), which prunes the pair space before any vector math."""
-    e = table(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = cosine(F.col("ea"), F.col("eb"))
-    return j.select("vec_a", "vec_b", sim.alias("sim")).filter(F.col("sim") >= 0.4)
-
-
-def _plane_weight_sql() -> str:
-    # ±1 hyperplane weights from md5(plane '-' dim): public-derivable, both
-    # engines compute identical planes
-    return (
-        "(SELECT p.b AS b, d.i AS i, "
-        " CASE WHEN substr(md5(p.b || '-' || d.i), 1, 1) >= '8' THEN 1 ELSE -1 END AS w"
-        f" FROM (SELECT unnest(range(0, {N_PLANES})) AS b) p,"
-        "      (SELECT unnest(range(1, 65)) AS i) d)"
-    )
-
-
-@register(
-    "sim03_lsh_buckets",
-    f"""WITH {_EX_SQL},
-       planes AS (SELECT * FROM {_plane_weight_sql()}),
-       bits AS (SELECT e.vec_id, p.b,
-                       (sum(p.w * e.v) > 0) AS bit
-                FROM ex e JOIN planes p ON p.i = e.i
-                GROUP BY 1, 2),
-       buckets AS (SELECT vec_id,
-                          CAST(sum(CASE WHEN bit THEN 1 << b ELSE 0 END) AS BIGINT)
-                            AS bucket
-                   FROM bits GROUP BY vec_id)
-       SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
-       FROM buckets GROUP BY bucket""",
-)
-def sim03(spark, sf):
-    """Random-hyperplane LSH bucketing (the ANN scale path): 8 md5-derived
-    ±1 planes → 8-bit signature → bucket.  Search joins query buckets to
-    candidate buckets; cost Σ bucket², never all-pairs."""
-    e = table(spark, sf, "embeddings")
-    ex = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "vf")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v"))
-    planes = (
-        spark.range(N_PLANES)
-        .select(F.col("id").cast("int").alias("b"))
-        .crossJoin(spark.range(1, 65).select(F.col("id").cast("int").alias("i")))
-        .select(
-            "b",
-            "i",
-            F.when(
-                F.substring(F.md5(F.concat_ws("-", F.col("b"), F.col("i"))), 1, 1) >= "8", 1
-            )
-            .otherwise(-1)
-            .alias("w"),
-        )
-    )
-    bits = (
-        ex.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "b")
-        .agg((F.sum(F.col("w") * F.col("v")) > 0).alias("bit"))
-    )
-    buckets = bits.groupBy("vec_id").agg(
-        F.sum(F.when(F.col("bit"), F.expr("CAST(shiftleft(1, b) AS BIGINT)")).otherwise(0))
-        .cast("long")
-        .alias("bucket")
-    )
-    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
-
-
 def _multi_table_planes_sql() -> str:
     # 16 ±1 planes p=0..15; table l = p // PLANES_PER_TABLE, bit = p % PPT.
-    # Same public md5 derivation as sim03 so both engines agree bit-for-bit.
+    # Public md5 derivation so both engines agree bit-for-bit.
     n = N_TABLES * PLANES_PER_TABLE
     return (
         "(SELECT p.p AS p, d.i AS i, "
@@ -202,8 +125,15 @@ def _multi_table_planes_sql() -> str:
        dots AS (SELECT query_id, neighbor_id, sum(a.v * b.v) AS d
                 FROM pairs JOIN ex a ON a.vec_id = query_id
                            JOIN ex b ON b.vec_id = neighbor_id AND b.i = a.i
-                GROUP BY 1, 2)
-       SELECT query_id, neighbor_id, sim FROM (
+                GROUP BY 1, 2),
+       nd_pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+                    FROM buckets a JOIN buckets c
+                      ON a.l = c.l AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       nd_dots AS (SELECT id_a, id_b, sum(a.v * b.v) AS d
+                   FROM nd_pairs JOIN ex a ON a.vec_id = id_a
+                                 JOIN ex b ON b.vec_id = id_b AND b.i = a.i
+                   GROUP BY 1, 2)
+       SELECT 'topk' AS mode, query_id, neighbor_id, sim FROM (
          SELECT query_id, neighbor_id,
                 ROUND(d / (x.n * y.n), 6) AS sim,
                 row_number() OVER (
@@ -211,12 +141,24 @@ def _multi_table_planes_sql() -> str:
                   ORDER BY ROUND(d / (x.n * y.n), 6) DESC, neighbor_id) AS rn
          FROM dots JOIN nrm x ON x.vec_id = query_id
                    JOIN nrm y ON y.vec_id = neighbor_id
-       ) WHERE rn <= 3""",
+       ) WHERE rn <= 3
+       UNION ALL
+       SELECT 'neardup' AS mode, id_a AS query_id, id_b AS neighbor_id,
+              ROUND(d / (x.n * y.n), 6) AS sim
+       FROM nd_dots JOIN nrm x ON x.vec_id = id_a
+                    JOIN nrm y ON y.vec_id = id_b
+       WHERE ROUND(d / (x.n * y.n), 6) >= 0.4""",
 )
 def sim05(spark, sf):
-    """LSH ANN search end-to-end (the production near-neighbor path):
-    multi-table hyperplane LSH → bucket equi-join → candidate pairs →
-    exact-cosine verify → per-query top-k.
+    """LSH ANN end-to-end (the production near-neighbor path), two tagged
+    sections over ONE bucket build:
+
+    * ``topk`` — multi-table hyperplane LSH → bucket equi-join →
+      candidate pairs → exact-cosine verify → per-query top-k;
+    * ``neardup`` — the brief's embedding-cosine near-dup: ALL bucket-
+      colliding pairs (id_a < id_b) kept iff exact cosine ≥ 0.4 (round
+      2's sim02 computed this over an n²/2 nested-loop join — that demo
+      is gone; this is the scale-safe form).
 
     N_TABLES independent 4-bit hash tables; a pair is a candidate if it
     collides in ANY table (the standard recall booster: miss probability
@@ -264,6 +206,10 @@ def sim05(spark, sf):
         .cast("long")
         .alias("bucket")
     )
+    # buckets feed BOTH sections below; persist-free reuse is fine (the
+    # build is two narrow aggs), but cache the small per-vector bucket set
+    # so the two self-joins don't recompute the plane fold
+    buckets = buckets.persist()
     qb = buckets.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "l", "bucket"
     )
@@ -281,38 +227,89 @@ def sim05(spark, sf):
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
+    topk = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter("rn <= 3")
-        .select("query_id", "neighbor_id", "sim")
+        .select(F.lit("topk").alias("mode"), "query_id", "neighbor_id", "sim")
     )
+    ba = buckets.select(F.col("vec_id").alias("query_id"), "l", "bucket")
+    nd_pairs = (
+        ba.join(buckets, ["l", "bucket"])
+        .filter(F.col("query_id") < F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    neardup = (
+        nd_pairs.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select(F.lit("neardup").alias("mode"), "query_id", "neighbor_id", "sim")
+    )
+    return topk.unionByName(neardup)
 
 
 N_KMEANS_ITERS = 3  # Lloyd rounds for the IVF coarse quantizer
-NPROBE = 2  # sim04: cells searched per query (recall/cost dial)
+NPROBE = 3  # sim04: cells searched per query (recall/cost dial)
+SEED_SAMPLE_MOD = 16  # farthest-point seeding runs over vec_id % MOD == 0
+SPLIT_FACTOR = 2.0  # split cells holding > FACTOR * original mean occupancy
+MAX_SPLIT_ROUNDS = 4  # recursion depth cap for oversized-cell splitting
 
 
-def _train_centroids(spark, e: DataFrame) -> DataFrame:
-    """Spherical k-means coarse quantizer, trained distributedly.
+def _rounded_vec() -> Column:
+    return F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
+
+
+def _seed_centroids(spark, e: DataFrame, k: int) -> list[list[float]]:
+    """Farthest-point (k-means++-style) seeding: start from the min-vec_id
+    vector, then repeatedly add the vector whose max cosine to the chosen
+    seeds is SMALLEST — spreading seeds across the space instead of round
+    2's first-k-vectors (which collapse into one region on a clumped
+    corpus and cost recall).  Deterministic: min-vec_id tiebreak, no RNG.
+
+    Each round is one bounded job over ``e`` (the caller passes a
+    deterministic sample — production seeds over a fixed-size sample too);
+    only k×64 floats ever reach the driver."""
+    first = (
+        e.orderBy("vec_id").limit(1).select(_rounded_vec().alias("cv")).collect()
+    )
+    seeds = [list(first[0]["cv"])]
+    for _ in range(k - 1):
+        cdf = spark.createDataFrame([(s,) for s in seeds], "cv array<double>")
+        far = (
+            e.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                _rounded_vec().alias("ev"),
+                cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+            )
+            .groupBy("vec_id", "ev")
+            .agg(F.max("cs").alias("closest"))
+            .orderBy(F.col("closest").asc(), F.col("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        seeds.append(list(far[0]["ev"]))
+    return seeds
+
+
+def _lloyd(spark, e: DataFrame, seeds: list[list[float]], iters: int) -> DataFrame:
+    """Spherical k-means from explicit seeds, trained distributedly.
 
     Each Lloyd round is two DataFrame jobs: (1) assign every vector to its
     max-cosine centroid (broadcast join + one window argmin), (2) new
     centroid = element-wise mean of its members (posexplode → per-(cell,
-    dim) avg → re-assemble).  Only the N_CELLS×64 centroid matrix ever
-    touches the driver (bounded metadata, not data) — the same protocol a
-    1000-executor run would use, where training typically also samples the
-    corpus first.  Means are rounded to 6 decimals so the quantizer is
-    reproducible despite float summation order varying across partitions.
-    """
-    cents = e.orderBy("vec_id").limit(N_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("cv"),
+    dim) avg → re-assemble).  Only the k×64 centroid matrix ever touches
+    the driver (bounded metadata, not data) — the same protocol a
+    1000-executor run would use.  Means are rounded to 6 decimals so the
+    quantizer is reproducible despite float summation order varying
+    across partitions."""
+    cents = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)], "cell int, cv array<double>"
     )
-    # seed cells 0..N_CELLS-1 regardless of which vec_ids seeded them
-    cents = cents.select(
-        (F.row_number().over(Window.orderBy("cell")) - 1).alias("cell"), "cv"
-    )
-    for _ in range(N_KMEANS_ITERS):
+    for _ in range(iters):
         assigned = _assign_cells(e, cents, nprobe=1)
         new = (
             assigned.select("cell", F.posexplode(F.col("embedding")).alias("pos", "val"))
@@ -333,12 +330,69 @@ def _train_centroids(spark, e: DataFrame) -> DataFrame:
     return cents
 
 
+def _train_centroids(spark, e: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: farthest-point seeding → Lloyd rounds →
+    oversized-cell split.
+
+    The split closes round 2's documented caveat (a pathological corpus
+    overfilling one cell degrades probes toward brute force): any cell
+    holding more than SPLIT_FACTOR× the original mean occupancy is
+    re-quantized with a local 2-means over its members, recursively until
+    no cell exceeds the bound (depth-capped at MAX_SPLIT_ROUNDS), and the
+    final centroid table is the FLAT union of leaves (re-numbered
+    0..K-1) — hot regions simply get finer granularity, the search path
+    is unchanged, and per-probe scan cost is bounded.  Cell sizes are
+    one row per cell of metadata, not data."""
+    sample = e.filter(F.col("vec_id") % SEED_SAMPLE_MOD == 0)
+    if sample.limit(N_CELLS).count() < N_CELLS:
+        sample = e
+    cents = _lloyd(spark, e, _seed_centroids(spark, sample, N_CELLS), N_KMEANS_ITERS)
+    n_total = None
+    for _ in range(MAX_SPLIT_ROUNDS):
+        assigned = _assign_cells(e, cents, nprobe=1)
+        sizes = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per cell
+        }
+        if not sizes:
+            break
+        if n_total is None:
+            n_total = sum(sizes.values())
+        # the bound is relative to the ORIGINAL mean occupancy (splitting
+        # raises the cell count, so a per-round mean would chase itself)
+        thresh = SPLIT_FACTOR * n_total / N_CELLS
+        oversized = sorted(c for c, n in sizes.items() if n > thresh)
+        if not oversized:
+            break
+        keep = cents.join(
+            spark.createDataFrame([(c,) for c in oversized], "cell int"),
+            "cell",
+            "left_anti",
+        )
+        leaves = [keep]
+        for c in oversized:
+            members = assigned.filter(F.col("cell") == c).drop("cell")
+            sub = _lloyd(spark, members, _seed_centroids(spark, members, 2), 2)
+            leaves.append(sub)
+        flat = leaves[0]
+        for df in leaves[1:]:
+            flat = flat.unionByName(df)
+        cents = flat.select(
+            (F.row_number().over(Window.orderBy(F.col("cv").cast("string"))) - 1)
+            .alias("cell"),
+            "cv",
+        ).localCheckpoint(eager=True)
+    return cents
+
+
 def _assign_cells(df: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """Top-``nprobe`` max-cosine cells per vector (broadcast centroids)."""
     j = df.crossJoin(F.broadcast(cents))
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
     return (
-        j.select(df["*"], "cell", cosine(F.col("embedding"), F.col("cv")).alias("csim"))
+        j.select(df["*"], "cell", cosine_raw(F.col("embedding"), F.col("cv")).alias("csim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .drop("rn", "csim")
@@ -353,14 +407,14 @@ def sim04(spark, sf):
     (corpus scan cost ≈ NPROBE/N_CELLS of brute force, plus an O(N_CELLS)
     broadcast argmin per vector).
 
-    Centroids come from ``_train_centroids`` (3 distributed Lloyd rounds,
-    spherical k-means matching the cosine search metric); queries probe
-    their top-2 cells while corpus vectors index under exactly one, the
-    standard IVF recall/cost dial.  Remaining scale caveat: a pathological
-    corpus can still overfill one cell — production splits cells over a
-    size threshold (recursive k-means), same maintenance shape as the
-    table's rebucket op.  Recall vs the sim01 brute-force baseline is
-    asserted in tests/test_similarity.py."""
+    Centroids come from ``_train_centroids``: farthest-point seeding
+    (round 2 seeded from the first 8 vectors — the main recall cost),
+    3 distributed Lloyd rounds of spherical k-means matching the cosine
+    search metric, then oversized-cell splitting (round 2's documented
+    caveat, now implemented).  Queries probe their top-NPROBE cells while
+    corpus vectors index under exactly one — the standard IVF recall/cost
+    dial.  Recall vs the sim01 brute-force baseline is asserted in
+    tests/test_similarity.py."""
     e = table(spark, sf, "embeddings")
     cents = _train_centroids(spark, e)
     cand = _assign_cells(e, cents, nprobe=1).select("vec_id", "embedding", "cell")

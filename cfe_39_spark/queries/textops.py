@@ -22,21 +22,36 @@ from .base import register, table
 LANG_MARKERS = {"de": "row", "en": "table", "es": "scan", "fr": "join", "zh": "hash"}
 
 
+# BPE-style pre-tokenizer pieces: a letter run, a digit run, or a
+# punctuation run, each optionally absorbing one leading space (the GPT-2
+# pretokenizer shape, minus contraction special-cases and Unicode classes
+# so Java regex and RE2 count identically)
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 @register(
     "tx01_token_count",
-    """SELECT doc_id,
+    f"""SELECT doc_id,
               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
               CAST(n_chars AS BIGINT) AS n_chars,
               ROUND(length(replace(text, ' ', '')) /
-                    len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len
+                    len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len,
+              CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe,
+              ROUND(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                    / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS fertility
        FROM documents""",
 )
 def tx01(spark, sf):
-    """Whitespace tokenization + counts — the cheap token-count pass every
-    corpus pipeline runs before the real (BPE) tokenizer."""
+    """Token counting, both halves of the brief ('whitespace + a BPE-ish
+    regex'): the cheap whitespace pass every corpus pipeline runs first,
+    plus pre-tokenizer pieces under a GPT-2-shaped regex with fertility
+    (pieces per whitespace word) — the number a pipeline uses to budget
+    training tokens before running the real tokenizer.  One JVM
+    ``regexp_count`` per row, no UDF, trivially data-parallel at 100 TB."""
     d = table(spark, sf, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     nw = F.size(words)
+    nb = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
     return d.select(
         "doc_id",
         nw.alias("n_words"),
@@ -44,44 +59,8 @@ def tx01(spark, sf):
         F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / nw, 4).alias(
             "avg_word_len"
         ),
-    )
-
-
-@register(
-    "tx02_quality_score",
-    """WITH f AS (
-         SELECT doc_id,
-                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-                len(regexp_extract_all(text, '[.!?,;]')) AS n_punct,
-                len(regexp_extract_all(text, '\\ba\\b')) AS n_stop,
-                n_chars
-         FROM documents)
-       SELECT doc_id,
-              CAST(n_words AS INT) AS n_words,
-              ROUND(n_punct / n_chars, 6) AS punct_ratio,
-              ROUND(n_stop / n_words, 6) AS stopword_ratio,
-              ROUND(least(n_words / 100.0, 1.0) * 0.6
-                    + least(n_stop / n_words * 5, 1.0) * 0.4, 6) AS quality
-       FROM f""",
-)
-def tx02(spark, sf):
-    """Heuristic quality scoring: length, punctuation density, stopword
-    ratio folded into one [0,1] score (brief: 'quality scoring')."""
-    d = table(spark, sf, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    nw = F.size(words)
-    np_ = F.regexp_count(F.col("text"), F.lit(r"[.!?,;]"))
-    ns = F.regexp_count(F.col("text"), F.lit(r"\ba\b"))
-    return d.select(
-        "doc_id",
-        nw.alias("n_words"),
-        F.round(np_ / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(ns / nw, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.6
-            + F.least(ns / nw * 5, F.lit(1.0)) * 0.4,
-            6,
-        ).alias("quality"),
+        nb.alias("n_bpe"),
+        F.round(nb / nw, 4).alias("fertility"),
     )
 
 
@@ -100,48 +79,74 @@ def _langid_sql() -> str:
        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand) = 1"""
 
 
-@register("tx03_langid", _langid_sql())
-def tx03(spark, sf):
-    """Language-ID by keyword-profile argmax (brief: 'language-ID (n-gram
-    heuristic)'): score each language's marker profile, pick the argmax
-    with a deterministic tiebreak."""
+_TX02_SQL = f"""WITH q AS (
+         SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                len(regexp_extract_all(text, '[.!?,;]')) AS n_punct,
+                len(regexp_extract_all(text, '\\ba\\b')) AS n_stop,
+                n_chars,
+                md5(lower(trim(text))) AS fp,
+                md5(substr(text, 1, 40)) AS prefix_fp
+         FROM documents),
+       l AS ({_langid_sql()})
+       SELECT q.doc_id,
+              CAST(n_words AS INT) AS n_words,
+              ROUND(n_punct / n_chars, 6) AS punct_ratio,
+              ROUND(n_stop / n_words, 6) AS stopword_ratio,
+              ROUND(least(n_words / 100.0, 1.0) * 0.6
+                    + least(n_stop / n_words * 5, 1.0) * 0.4, 6) AS quality,
+              l.pred_lang, l.is_match,
+              q.fp, q.prefix_fp,
+              CAST(count(*) OVER (PARTITION BY q.prefix_fp) AS BIGINT)
+                AS n_same_prefix
+       FROM q JOIN l ON l.doc_id = q.doc_id"""
+
+
+@register("tx02_text_analysis", _TX02_SQL)
+def tx02(spark, sf):
+    """The brief's per-document text-analysis battery in one pass (round
+    2's tx02/tx03/tx04):
+
+    * quality scoring — length, punctuation density, stopword ratio
+      folded into one [0,1] score;
+    * language-ID by keyword-profile argmax with deterministic tiebreak,
+      computed as a JVM ``array_min`` over (−count, lang) structs — a
+      pure per-row expression, which drops round 2's explode + window
+      shuffle entirely;
+    * document fingerprinting — full-text and prefix (canopy) md5
+      digests; the prefix window count surfaces duplicate clusters.
+
+    One window (count over prefix_fp) is the only shuffle in the plan."""
     d = table(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(words)
+    np_ = F.regexp_count(F.col("text"), F.lit(r"[.!?,;]"))
+    ns = F.regexp_count(F.col("text"), F.lit(r"\ba\b"))
+    # argmax via array_min on (negated count, lang): field-by-field struct
+    # compare == the oracle's ORDER BY cnt DESC, cand ASC
     cands = F.array(
         *[
             F.struct(
-                F.regexp_count(F.col("text"), F.lit(rf"\b{w}\b")).alias("cnt"),
+                (-F.regexp_count(F.col("text"), F.lit(rf"\b{w}\b"))).alias("negcnt"),
                 F.lit(lg).alias("cand"),
             )
             for lg, w in sorted(LANG_MARKERS.items())
         ]
     )
-    e = d.select("doc_id", "lang", F.explode(cands).alias("s")).select(
-        "doc_id", "lang", F.col("s.cand").alias("cand"), F.col("s.cnt").alias("cnt")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("cand"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("doc_id", F.col("cand").alias("pred_lang"), (F.col("cand") == F.col("lang")).alias("is_match"))
-    )
-
-
-@register(
-    "tx04_fingerprint",
-    """SELECT doc_id,
-              md5(lower(trim(text))) AS fp,
-              md5(substr(text, 1, 40)) AS prefix_fp,
-              CAST(count(*) OVER (PARTITION BY md5(substr(text, 1, 40))) AS BIGINT)
-                AS n_same_prefix
-       FROM documents""",
-)
-def tx04(spark, sf):
-    """Document fingerprinting: full-text and prefix (canopy) md5 digests;
-    the prefix window count surfaces duplicate clusters."""
-    d = table(spark, sf, "documents")
+    pred = F.array_min(cands).getField("cand")
     pfp = F.md5(F.substring("text", 1, 40))
     return d.select(
         "doc_id",
+        nw.alias("n_words"),
+        F.round(np_ / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(ns / nw, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.6
+            + F.least(ns / nw * 5, F.lit(1.0)) * 0.4,
+            6,
+        ).alias("quality"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
         pfp.alias("prefix_fp"),
         F.count(F.lit(1)).over(Window.partitionBy(pfp)).alias("n_same_prefix"),
@@ -170,12 +175,9 @@ def _rolling_fp(text: pd.Series) -> pd.Series:
     return text.map(_h).astype("Int64")
 
 
-@register("tx05_rolling_fingerprint", None)
-def tx05(spark, sf):
-    """Rolling-hash fingerprint via pandas UDF (rows-only check — the hash
-    family is engine-private).  Demonstrates the mandated Arrow path."""
-    d = table(spark, sf, "documents")
-    return d.select("doc_id", _rolling_fp(F.col("text")).alias("rolling_fp"))
+# ``_rolling_fp`` is registered through mm02_decode_features (U1 scalar
+# pandas UDF surface; round 2 exposed it standalone as tx05) and unit-tested
+# in tests/test_tokens.py.
 
 
 @register(
@@ -231,40 +233,6 @@ def tx06(spark, sf):
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-    )
-
-
-# BPE-style pre-tokenizer pieces: a letter run, a digit run, or a
-# punctuation run, each optionally absorbing one leading space (the GPT-2
-# pretokenizer shape, minus contraction special-cases and Unicode classes
-# so Java regex and RE2 count identically)
-_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-
-
-@register(
-    "tx07_bpe_token_count",
-    f"""SELECT doc_id,
-              CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe,
-              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
-              ROUND(len(regexp_extract_all(text, '{_BPE_PAT}'))
-                    / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS fertility
-       FROM documents""",
-)
-def tx07(spark, sf):
-    """Token counting, BPE-ish half (brief: 'token counting (whitespace +
-    a BPE-ish regex)'): count pre-tokenizer pieces under a GPT-2-shaped
-    regex and report fertility (pieces per whitespace word) — the number a
-    corpus pipeline uses to budget training tokens before running the real
-    tokenizer.  One JVM ``regexp_count`` per row, no UDF, trivially
-    data-parallel at 100 TB."""
-    d = table(spark, sf, "documents")
-    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    nb = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
-    return d.select(
-        "doc_id",
-        nb.alias("n_bpe"),
-        nw.alias("n_words"),
-        F.round(nb / nw, 4).alias("fertility"),
     )
 
 

@@ -75,40 +75,113 @@ class mutex:
     linearizes concurrent local writers; on an object store the same role
     is played by the catalog's compare-and-swap (documented trade-off —
     the lock guards only the metadata swap, never data writes, so the
-    held-time is milliseconds regardless of batch size)."""
+    held-time is milliseconds regardless of batch size).
+
+    Crash-safety protocol (each piece closes a race a naive stale-break
+    has):
+
+    * the lock file holds a unique ``pid:uuid`` token; ``__exit__``
+      unlinks only while the file still carries OUR token, so a holder
+      that overran ``stale_s`` and was broken can never unlink the next
+      holder's lock;
+    * a heartbeat thread touches the lock's mtime every ``stale_s / 4``
+      while held, so a slow-but-live holder is never judged stale;
+    * stale-breaking claims the lock by ATOMIC RENAME to a private trash
+      name (only one waiter can win the rename of a given inode), then
+      re-stats the claimed file: only if its (st_ino, st_mtime) still
+      match the stale observation is it unlinked.  If the claim turns
+      out fresh (the mtime advanced between observation and rename), the
+      breaker restores it with ``os.link`` — atomic-exclusive, so it
+      never clobbers a lock some third writer created in the window."""
 
     def __init__(self, path: str, timeout_s: float = 30.0, stale_s: float = 60.0):
         self.path = path
         self.timeout_s = timeout_s
         self.stale_s = stale_s  # break locks left by a crashed holder
+        self._token = b""
+        self._hb_stop = None
+        self._hb_thread = None
+
+    def _try_break(self, observed: os.stat_result) -> None:
+        """Break the lock at ``path`` iff it is still the exact stale file
+        we observed (same inode, same mtime)."""
+        import uuid
+
+        trash = f"{self.path}.stale-{uuid.uuid4().hex}"
+        try:
+            os.rename(self.path, trash)  # atomic claim; losers get ENOENT
+        except FileNotFoundError:
+            return
+        try:
+            st = os.stat(trash)
+        except FileNotFoundError:
+            return
+        if (st.st_ino, st.st_mtime_ns) == (observed.st_ino, observed.st_mtime_ns):
+            os.unlink(trash)  # confirmed dead holder
+            return
+        # We claimed a LIVE lock (heartbeat or fresh acquisition raced the
+        # rename).  Restore it without clobbering any newer lock: link is
+        # atomic-exclusive (EEXIST if a new lock appeared meanwhile).
+        try:
+            os.link(trash, self.path)
+        except FileExistsError:
+            pass
+        os.unlink(trash)
 
     def __enter__(self):
+        import threading
         import time
+        import uuid
 
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         deadline = time.monotonic() + self.timeout_s
+        token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token)
                 os.close(fd)
-                return self
+                self._token = token
+                break
             except FileExistsError:
                 try:
-                    import time as _t
-
-                    if _t.time() - os.path.getmtime(self.path) > self.stale_s:
-                        os.unlink(self.path)  # crashed holder; break the lock
+                    st = os.stat(self.path)
+                    if time.time() - st.st_mtime > self.stale_s:
+                        self._try_break(st)
                         continue
                 except FileNotFoundError:
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"commit lock held too long: {self.path}")
                 time.sleep(0.01)
+        # heartbeat: a live holder keeps its mtime fresh so waiters never
+        # judge it stale, however slow the critical section runs
+        self._hb_stop = threading.Event()
+
+        def _beat(stop=self._hb_stop, path=self.path, period=self.stale_s / 4):
+            while not stop.wait(period):
+                try:
+                    os.utime(path)
+                except OSError:
+                    return
+
+        self._hb_thread = threading.Thread(target=_beat, daemon=True)
+        self._hb_thread.start()
+        return self
 
     def __exit__(self, *exc):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
         try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+            with open(self.path, "rb") as f:
+                owned = f.read() == self._token
+        except OSError:
+            owned = False
+        if owned:
+            # unlink only our own lock; if we overran stale_s and were
+            # broken, the file now carries the next holder's token
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
         return False

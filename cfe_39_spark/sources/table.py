@@ -97,8 +97,23 @@ def changes_as_events(changes: DataFrame) -> DataFrame:
         c
         for c in changes.columns
         if c not in BOOKKEEPING_COLS
-        and c not in ("_change_type", "_commit_snapshot_id", "_commit_batch_id", "doc_id")
+        and c
+        not in (
+            "_change_type",
+            "_commit_snapshot_id",
+            "_commit_batch_id",
+            "_schema_version",
+            "doc_id",
+        )
     ]
+    # carry the feed's real schema version (read_changes stamps the target
+    # snapshot's version — the one its rows are reconciled to); only a
+    # pre-stamp feed from an older engine falls back to 1
+    sv = (
+        F.col("_schema_version")
+        if "_schema_version" in changes.columns
+        else F.lit(1)
+    )
     return changes.select(
         "doc_id",
         F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(F.lit("U")).alias("op"),
@@ -106,7 +121,7 @@ def changes_as_events(changes: DataFrame) -> DataFrame:
         F.col("_last_event_time").alias("event_time"),
         F.col("_last_epoch").alias("epoch"),
         F.col("_commit_snapshot_id").cast("int").alias("src_partition"),
-        F.lit(1).alias("schema_version"),
+        sv.alias("schema_version"),
         *user_cols,
     )
 
@@ -392,7 +407,20 @@ class SequenceTable:
         schemas = dict(parent["schemas"])
         sv = schema_version if schema_version is not None else parent["schema_version"]
         if new_schema is not None:
-            schemas[str(sv)] = _schema_to_json(new_schema)
+            incoming = _schema_to_json(new_schema)
+            registered = schemas.get(str(sv))
+            if registered is not None and registered != incoming:
+                # two racing writers derived DIFFERENT schemas for the same
+                # version number (e.g. both evolved off the same parent);
+                # silently overwriting would make files written under the
+                # first registration decode with the second's column set —
+                # force the retrying writer to re-derive sv against the new
+                # parent instead
+                raise CommitConflictError(
+                    f"schema version {sv} already registered with a different "
+                    f"schema; re-plan against snapshot {parent['snapshot_id']}"
+                )
+            schemas[str(sv)] = incoming
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
@@ -521,10 +549,43 @@ class SequenceTable:
         span: list[dict] = []
         sid: int | None = to_sid
         while sid is not None and sid != from_snapshot_id:
-            s = self.snapshot(sid)
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                # the walk hit an expired snapshot: the consumer's cursor
+                # fell behind retention.  Surface a clear re-bootstrap
+                # signal (Iceberg's dedicated error here), not a raw
+                # missing-file trace.
+                retained = [
+                    int(f[5:-5])
+                    for f in fs.listdir(self.meta_dir)
+                    if f.startswith("snap-") and f.endswith(".json")
+                ]
+                raise ValueError(
+                    f"changes from snapshot {from_snapshot_id} have expired "
+                    f"(oldest retained snapshot is "
+                    f"{min(retained) if retained else 'none'}); re-bootstrap "
+                    "from a full table read"
+                ) from None
             span.append(s)
             sid = s["parent_id"]
         if sid is None and from_snapshot_id != 0:
+            # the chain ended without reaching the cursor: either the span
+            # was expired away (expire_snapshots reparents the oldest
+            # retained snapshot to None) or the cursor never existed —
+            # tell the consumer which
+            retained = [
+                int(f[5:-5])
+                for f in fs.listdir(self.meta_dir)
+                if f.startswith("snap-") and f.endswith(".json")
+            ]
+            oldest = min(retained) if retained else None
+            if oldest is not None and from_snapshot_id < oldest:
+                raise ValueError(
+                    f"changes from snapshot {from_snapshot_id} have expired "
+                    f"(oldest retained snapshot is {oldest}); re-bootstrap "
+                    "from a full table read"
+                )
             raise ValueError(
                 f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}"
             )
@@ -538,6 +599,11 @@ class SequenceTable:
             parts.append(
                 df.withColumn("_commit_snapshot_id", F.lit(s["snapshot_id"]).cast("long"))
                 .withColumn("_commit_batch_id", F.lit(s["batch_id"]))
+                # rows are reconciled to the TARGET snapshot's schema above,
+                # so that is the version a re-emitted event must carry
+                .withColumn(
+                    "_schema_version", F.lit(target["schema_version"]).cast("int")
+                )
             )
         if not parts:
             empty = T.StructType(
@@ -545,6 +611,7 @@ class SequenceTable:
                 + [
                     T.StructField("_commit_snapshot_id", T.LongType()),
                     T.StructField("_commit_batch_id", T.StringType()),
+                    T.StructField("_schema_version", T.IntegerType()),
                     T.StructField("_change_type", T.StringType()),
                 ]
             )

@@ -47,11 +47,14 @@ def run_stream(
     available_now: bool = True,
     lww_strategy: str = "max_by",
     stop_after_batches: int | None = None,
+    known_partitions: list[int] | None = None,
 ):
     """Tail the log into the table.  ``available_now=True`` = bounded
     replay (process everything, then stop — T7); otherwise a continuous
     micro-batch stream.  ``stop_after_batches`` simulates a crash for the
-    kill-and-resume tests."""
+    kill-and-resume tests.  ``known_partitions``: source partition ids
+    when known (a Kafka source's topic partition count) — enables the
+    one-job-per-trigger fused-stats hot path in ``apply_batch``."""
     schema = infer_log_schema(spark, log_dir)
     src = (
         spark.readStream.schema(schema)
@@ -61,7 +64,8 @@ def run_stream(
     seen = {"n": 0}
 
     def _apply(df, batch_id: int) -> None:
-        res = apply_batch(spark, table, df, batch_id, lww_strategy=lww_strategy)
+        res = apply_batch(spark, table, df, batch_id, lww_strategy=lww_strategy,
+                          known_partitions=known_partitions)
         write_lineage(table.root, res)
         seen["n"] += 1
         if stop_after_batches is not None and seen["n"] >= stop_after_batches:

@@ -104,3 +104,48 @@ def test_tokens_stay_int32(spark, tmp_path):
     assert np.asarray(row["tokens"]).dtype in (np.int32, np.dtype("int32")) or all(
         isinstance(t, int) for t in row["tokens"]
     )
+
+
+def test_fused_stats_path_equivalent(spark, tmp_path):
+    """apply_batch with known_partitions (lineage stats observed during the
+    delta-write job — one Spark job per trigger) must produce identical
+    state AND identical lineage to the eager two-job path; a wrong hint
+    must self-correct via the fallback, never mis-report."""
+    import glob
+
+    cfg = GenConfig(n_docs_initial=25, n_events=120, n_segments=3, dup_rate=0.2, seed=41)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+
+    results = {}
+    for tag, hint in (
+        ("eager", None),
+        ("fused", list(range(cfg.n_partitions))),
+        ("bad_hint", [0]),  # most partitions missing -> fallback path
+    ):
+        t = SequenceTable.create(spark, str(tmp_path / f"t-{tag}"), init, n_buckets=4)
+        rs = []
+        for i, seg in enumerate(segs):
+            rs.append(
+                apply_batch(
+                    spark, t, spark.read.parquet(seg), batch_id=i,
+                    known_partitions=hint,
+                )
+            )
+        assert_state_equal(t.read(spark), fx["expected"])
+        results[tag] = [
+            (r.rows_applied, r.events_in, r.per_partition) for r in rs
+        ]
+    assert results["eager"] == results["fused"]
+    # the bad hint's per-partition rows_applied degrade to the grouped
+    # recomputation; totals must still agree exactly
+    for (ra, ei, pp), (ra2, ei2, pp2) in zip(results["eager"], results["bad_hint"]):
+        assert (ra, ei) == (ra2, ei2)
+        assert [
+            (p["src_partition"], p["min_offset"], p["max_offset"], p["events_in"])
+            for p in pp
+        ] == [
+            (p["src_partition"], p["min_offset"], p["max_offset"], p["events_in"])
+            for p in pp2
+        ]

@@ -97,3 +97,51 @@ def test_changelog_rejects_non_ancestor(spark, tmp_path):
     a, _, _ = _replayed(spark, tmp_path, cfg, "mor")
     with pytest.raises(ValueError, match="not an ancestor"):
         a.read_changes(spark, 10**6)
+
+
+def test_changelog_expired_span_raises_clear_error(spark, tmp_path):
+    """A consumer whose cursor fell behind retention gets a dedicated
+    'changes expired / re-bootstrap' ValueError (Iceberg's behavior), not
+    a raw missing-file trace."""
+    cfg = GenConfig(n_docs_initial=15, n_events=80, n_segments=4, seed=83)
+    a, _, _ = _replayed(spark, tmp_path, cfg, "mor")
+    a.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        a.read_changes(spark, 1)
+
+
+def test_changelog_two_hop_mirror_chain(spark, tmp_path):
+    """CDC-producer COMPOSITION (A -> B -> C): B tails A's feed, C tails
+    B's feed, with compaction + rebucket interleaved mid-span on both A
+    and B.  All three tables must converge to the oracle state bit-for-
+    bit — the property that makes the changelog a real replication
+    primitive rather than a one-hop export."""
+    cfg = GenConfig(n_docs_initial=25, n_events=160, n_segments=4, dup_rate=0.2,
+                    key_dist="hot", shuffle_within_segments=True, seed=87)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    a = SequenceTable.create(spark, str(tmp_path / "a"), init, n_buckets=4)
+    b = SequenceTable.create(spark, str(tmp_path / "b"), init, n_buckets=4)
+    c = SequenceTable.create(spark, str(tmp_path / "c"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    b_cursor = c_cursor = 1
+    for i, seg in enumerate(segs):
+        apply_batch(spark, a, spark.read.parquet(seg), batch_id=i, mode="mor")
+        if i == 1:  # maintenance mid-span on the producer
+            a.compact(spark)
+            a.rebucket(spark, 8)
+        # hop 1: B tails A
+        a_head = a.latest_snapshot_id()
+        feed_ab = a.read_changes(spark, b_cursor, a_head)
+        apply_batch(spark, b, changes_as_events(feed_ab), batch_id=f"ab-{i}")
+        b_cursor = a_head
+        if i == 2:  # maintenance mid-span on the intermediate table
+            b.compact(spark)
+        # hop 2: C tails B
+        b_head = b.latest_snapshot_id()
+        feed_bc = b.read_changes(spark, c_cursor, b_head)
+        apply_batch(spark, c, changes_as_events(feed_bc), batch_id=f"bc-{i}")
+        c_cursor = b_head
+    assert_state_equal(a.read(spark), fx["expected"])
+    assert_state_equal(b.read(spark), fx["expected"])
+    assert_state_equal(c.read(spark), fx["expected"])

@@ -1,0 +1,58 @@
+"""Connected-components kernel (dd06's large-star/small-star): hub safety,
+log-round convergence on chains, and correctness on multi-component edge
+lists — the properties that make near-dup clustering web-crawl-safe."""
+
+from cfe_39_spark.queries.dedup import connected_components
+
+
+def _labels(df):
+    return {r["doc"]: r["label"] for r in df.collect()}
+
+
+def test_cc_hub_bounded_rounds(spark):
+    """A 1k-degree hub (the web-crawl shape that detonates naive
+    propagation) must resolve in a handful of rounds, with the hub's
+    fan-in collapsing onto the component min — not O(diameter) re-joins."""
+    hub = 500
+    edges = spark.createDataFrame(
+        [(hub, i) for i in range(1001) if i != hub], "src long, dst long"
+    )
+    labels, rounds = connected_components(edges)
+    got = _labels(labels)
+    assert rounds <= 4, f"hub took {rounds} rounds"
+    assert len(got) == 1001
+    assert set(got.values()) == {0}  # component min labels everyone
+
+
+def test_cc_chain_log_rounds(spark):
+    """A 64-node path has diameter 63: plain min-label propagation needs
+    ~63 rounds; the alternating star algorithm must finish in O(log n)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    labels, rounds = connected_components(edges)
+    got = _labels(labels)
+    assert rounds <= 10, f"chain took {rounds} rounds (diameter-bound, not log)"
+    assert len(got) == 64 and set(got.values()) == {0}
+
+
+def test_cc_multiple_components(spark):
+    """Disjoint components keep disjoint labels; keeper = component min."""
+    edges = spark.createDataFrame(
+        # comp A: 1-2-3 triangle, comp B: 10-11, comp C: 20-21-22 chain
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    labels, _ = connected_components(edges)
+    got = _labels(labels)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    """The kernel canonicalizes input: duplicates, self-loops and reversed
+    duplicates must not change the result."""
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 2), (1, 2), (3, 2)], "src long, dst long"
+    )
+    labels, _ = connected_components(edges)
+    assert _labels(labels) == {1: 1, 2: 1, 3: 1}

@@ -9,6 +9,8 @@ SF = "/root/testdata/sf0.001"
 
 def _pairs(spark, name):
     df = REGISTRY[name].fn(spark, SF)
+    if "mode" in df.columns:  # sim05 unions topk + neardup sections
+        df = df.filter("mode = 'topk'")
     return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
 
 
@@ -26,7 +28,52 @@ def test_ivf_recall_vs_bruteforce(spark):
     truth = _pairs(spark, "sim01_cosine_topk")
     got = _pairs(spark, "sim04_ivf_topk")
     recall = len(truth & got) / len(truth)
-    # k-means centroids + nprobe=2 of 8 cells on 500 near-isotropic
-    # synthetic 64-d vectors: measured 0.5 (random cell choice would give
-    # ~nprobe/N_CELLS = 0.25); 0.35 is the regression floor
-    assert recall >= 0.35, f"sim04 recall {recall:.2f} < 0.35"
+    # farthest-point seeding + nprobe=3 of 8 cells on 500 near-isotropic
+    # synthetic 64-d vectors: measured exactly 0.6, deterministically (no
+    # RNG anywhere in the quantizer — md5-free, rounding pinned); random
+    # cell choice would give ~nprobe/N_CELLS = 0.375.  N_CELLS=16/nprobe=4
+    # measured WORSE (0.5): 500 vectors over-segment at 16 cells.
+    assert recall >= 0.6, f"sim04 recall {recall:.2f} < 0.6"
+
+
+def test_ivf_oversized_cell_split(spark):
+    """A clumped corpus must trigger the oversized-cell split: 400 of 500
+    vectors packed into one tight direction would overfill a single cell;
+    after training the centroid table holds MORE than N_CELLS leaves and
+    no cell exceeds the split bound by construction of the local 2-means.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cfe_39_spark.queries.similarity import (
+        N_CELLS,
+        _assign_cells,
+        _train_centroids,
+    )
+
+    # deterministic clump: 400 vectors ≈ e1 with tiny md5-derived jitter,
+    # 100 spread across other axes
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(str(i).encode()).digest()
+        if i < 400:
+            v = [1.0] + [((h[j % 16] / 255.0) - 0.5) * 0.01 for j in range(63)]
+        else:
+            v = [0.0] * 64
+            v[1 + (i % 60)] = 1.0
+            v[63] = (h[0] / 255.0) * 0.1
+        rows.append((i, v))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _train_centroids(spark, e)
+    n_cells = cents.count()
+    assert n_cells > N_CELLS, f"split did not trigger: {n_cells} cells"
+    sizes = (
+        _assign_cells(e, cents, nprobe=1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # the hot region got finer granularity: no post-split cell holds the
+    # whole clump
+    assert max(r["n"] for r in sizes) < 400

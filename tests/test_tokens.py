@@ -62,6 +62,33 @@ def test_token_fingerprint_is_order_sensitive(spark):
     assert fps[0] != fps[1]
 
 
+def test_rolling_fp_deterministic_and_vectorized(spark):
+    """U1 scalar pandas UDF (mm02's rolling-hash fingerprint): identical
+    text → identical hash, different text → different hash, None → None;
+    and re-running the plan yields bit-identical values (no RNG, no
+    per-run state)."""
+    from pyspark.sql import types as TT
+
+    from cfe_39_spark.queries.textops import _rolling_fp
+
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", "hello world"), ("c", "other"), ("d", None)],
+        TT.StructType(
+            [
+                TT.StructField("doc_id", TT.StringType()),
+                TT.StructField("text", TT.StringType()),
+            ]
+        ),
+    )
+    out = df.select("doc_id", _rolling_fp(F.col("text")).alias("fp"))
+    got1 = {r["doc_id"]: r["fp"] for r in out.collect()}
+    got2 = {r["doc_id"]: r["fp"] for r in out.collect()}
+    assert got1 == got2
+    assert got1["a"] == got1["b"]
+    assert got1["a"] != got1["c"]
+    assert got1["d"] is None
+
+
 def test_int32_round_trip_through_arrow(spark):
     vals = [0, 1, 50256]  # in-vocab: fast path, bit-for-bit passthrough
     df = _df(spark, [("a", vals)])

@@ -34,12 +34,18 @@ def main() -> None:
     spark = get_spark(master=master, app_name=f"cdc-scale-{master}")
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # the bench log is generated with 8 source partitions
+        # (fixtures.gen_bench_log_spark n_partitions default) — the hint a
+        # Kafka consumer always has, enabling the fused one-job hot path
+        parts = list(range(8))
         warm = SequenceTable.create(spark, os.path.join(d, "warm"), n_buckets=32)
-        apply_batch(spark, warm, spark.read.parquet(segs[0]).limit(5000), batch_id="w")
+        apply_batch(spark, warm, spark.read.parquet(segs[0]).limit(5000),
+                    batch_id="w", known_partitions=parts)
         t = SequenceTable.create(spark, os.path.join(d, "t"), n_buckets=32)
         t0 = time.monotonic()
         for i, seg in enumerate(segs):
-            apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+            apply_batch(spark, t, spark.read.parquet(seg), batch_id=i,
+                        known_partitions=parts)
         print(f"WALL {time.monotonic() - t0:.2f}", flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
