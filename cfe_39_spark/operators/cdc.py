@@ -379,7 +379,10 @@ def apply_batch(
 
     # ---- S10: explicit change set (Delta-CDF role).  COW base files mix
     # rewritten-but-unchanged rows with real changes, so the feed must be
-    # written separately — O(applied rows), from the already-persisted w.
+    # written separately — O(applied rows), from the already-persisted w
+    # (a cache read, but still one extra write job per COW trigger; the
+    # accepted cost of the read-optimized mode — MOR's change feed is its
+    # delta files, zero extra IO).
     ch_is_del = F.col("op") == "D"
     ch_cols = [F.col("_b_doc_id").alias("doc_id")]
     for f2 in new_schema.fields:

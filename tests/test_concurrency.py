@@ -138,3 +138,57 @@ def test_commit_rejects_divergent_schema_for_same_version(spark, tmp_path):
         t.commit("sv2-b", [], files, schema_version=2, new_schema=s_b)
     # re-registering the SAME schema for the version stays idempotent
     t.commit("sv2-c", [], files, schema_version=2, new_schema=s_a)
+
+
+def test_mutex_heartbeat_protects_slow_holder(tmp_path):
+    """A slow-but-LIVE holder must never be broken: the heartbeat thread
+    keeps the lock's mtime fresh, so a waiter with a tiny stale_s times
+    out instead of stealing the lock mid-critical-section."""
+    import threading
+    import time
+
+    lock = str(tmp_path / "meta" / "_LOCK")
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_holder():
+        with fs.mutex(lock, stale_s=0.4):
+            entered.set()
+            release.wait(5)
+
+    th = threading.Thread(target=slow_holder)
+    th.start()
+    assert entered.wait(5)
+    time.sleep(1.0)  # well past stale_s; heartbeat must have refreshed mtime
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        with fs.mutex(lock, timeout_s=0.5, stale_s=0.4):
+            pass
+    assert time.monotonic() - t0 >= 0.4  # waited, didn't steal
+    release.set()
+    th.join(5)
+    # after a clean release the lock is acquirable again
+    with fs.mutex(lock, timeout_s=2, stale_s=60):
+        pass
+
+
+def test_mutex_exit_does_not_unlink_next_holders_lock(tmp_path):
+    """If a holder overruns and its lock is broken + re-acquired by another
+    writer, the overrunning holder's __exit__ must leave the NEW lock in
+    place (token-scoped unlink)."""
+    import os
+
+    lock = str(tmp_path / "meta" / "_LOCK")
+    m1 = fs.mutex(lock, stale_s=60)
+    m1.__enter__()
+    m1._hb_stop.set()  # simulate a frozen holder: heartbeat dies
+    m1._hb_thread.join(2)
+    # another writer breaks the (now genuinely stale-looking) lock
+    os.utime(lock, (1, 1))
+    m2 = fs.mutex(lock, timeout_s=2, stale_s=0.1)
+    m2.__enter__()
+    # the frozen holder wakes up and exits: must NOT remove m2's lock
+    m1.__exit__(None, None, None)
+    assert os.path.exists(lock)
+    m2.__exit__(None, None, None)
+    assert not os.path.exists(lock)
