@@ -513,6 +513,59 @@ class SequenceTable:
             .select(user_cols)
         )
 
+    def lookup(
+        self, spark: SparkSession, doc_ids: list[str], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Point reads by key, at file-skipping cost: O(files that can hold
+        the keys), never O(table).  Two pruning stages, both driver-side
+        metadata only:
+
+        1. **bucket pruning** — a key lives in exactly one bucket; the
+           bucket ids are computed with the SAME Spark hash the write path
+           uses (a K-row local job, so write/read hashing can never drift);
+        2. **min/max skipping** — within the kept buckets, a file is read
+           only if some key falls inside its footer ``[min_doc_id,
+           max_doc_id]`` range (files with no stats are kept — correctness
+           over skipping).
+
+        All surviving files of a key's bucket are read, so every MOR
+        version of the key is present and ``lww_resolve`` returns the same
+        winner a full ``read`` would.  At 10^10 rows / 1024 buckets a
+        10-key lookup touches ~10 buckets' worth of files — the serving
+        path a CDC validator needs next to the scan path.
+        """
+        snap = self.snapshot(snapshot_id)
+        if not doc_ids:
+            return spark.createDataFrame([], storage_schema(self.user_schema(snap))).select(
+                [f.name for f in self.user_schema(snap).fields]
+            )
+        nb = snap["n_buckets"]
+        rows = spark.createDataFrame(
+            [(d,) for d in set(doc_ids)], "doc_id string"
+        ).select("doc_id", bucket_expr("doc_id", nb).alias("_b"))
+        key_bucket = {r["doc_id"]: r["_b"] for r in rows.collect()}
+        wanted = set(key_bucket.values())
+        by_bucket: dict[int, list[str]] = {}
+        for d, b in key_bucket.items():
+            by_bucket.setdefault(b, []).append(d)
+        keep = []
+        for e in snap["files"]:
+            b = e["bucket"]
+            if b not in wanted:
+                continue
+            if e["min_doc_id"] is None or e["max_doc_id"] is None:
+                keep.append(e)
+                continue
+            if any(e["min_doc_id"] <= d <= e["max_doc_id"] for d in by_bucket[b]):
+                keep.append(e)
+        user_cols = [f.name for f in self.user_schema(snap).fields]
+        state = lww_resolve(self._read_files(spark, snap, keep))
+        return (
+            state.filter(F.col("doc_id").isin(list(set(doc_ids))))
+            .filter(~F.col("_deleted"))
+            .select(user_cols)
+        )
+
     # ------------------------------------------------------------------ #
     # incremental changelog scan (S10) — the CDC *read* surface
     # ------------------------------------------------------------------ #

@@ -45,7 +45,7 @@ def run_stream(
     checkpoint: str,
     max_files_per_trigger: int = 4,
     available_now: bool = True,
-    lww_strategy: str = "max_by",
+    lww_strategy: str = "bcast_join",
     stop_after_batches: int | None = None,
     known_partitions: list[int] | None = None,
 ):
@@ -120,7 +120,7 @@ def replay(
     spark: SparkSession,
     log_dir: str,
     table: SequenceTable,
-    lww_strategy: str = "max_by",
+    lww_strategy: str = "bcast_join",
     segments_per_batch: int = 1,
 ) -> list:
     """Deterministic batch replay (S2): iterate log segments in order

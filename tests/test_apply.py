@@ -65,9 +65,10 @@ def test_hot_key_skew(spark, tmp_path):
     assert_state_equal(table.read(spark), fx["expected"])
 
 
-@pytest.mark.parametrize("strategy", ["salted_window", "max_by"])
+@pytest.mark.parametrize("strategy", ["salted_window", "max_by", "bcast_join"])
 def test_lww_strategies_agree(spark, tmp_path, strategy):
-    cfg = GenConfig(n_docs_initial=15, n_events=100, n_segments=2, seed=29)
+    cfg = GenConfig(n_docs_initial=15, n_events=100, n_segments=2,
+                    dup_rate=0.2, shuffle_within_segments=True, seed=29)
     fx = write_fixture(str(tmp_path / "fx"), cfg)
     init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
     table = SequenceTable.create(spark, str(tmp_path / f"t-{strategy}"), init, n_buckets=4)

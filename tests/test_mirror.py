@@ -1,0 +1,107 @@
+"""Continuous CDC mirror (streaming/mirror.py): a downstream table kept
+in sync from an upstream table's change feed, exactly-once under crash at
+any point in the trigger."""
+
+import glob
+
+import pytest
+
+from cfe_39_spark.fixtures import GenConfig, write_fixture
+from cfe_39_spark.operators.cdc import apply_batch
+from cfe_39_spark.sources import fs
+from cfe_39_spark.sources.table import SequenceTable
+from cfe_39_spark.streaming import mirror
+
+from .util import assert_state_equal
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=20, n_events=120, n_segments=4,
+                  dup_rate=0.15, seed=103),
+    )
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    src = SequenceTable.create(spark, str(tmp_path / "src"), init, n_buckets=4)
+    dst = SequenceTable.create(spark, str(tmp_path / "dst"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    return fx, src, dst, segs, str(tmp_path / "chk")
+
+
+def test_mirror_tracks_source_incrementally(spark, pair):
+    """Interleave src commits with mirror triggers: after each drain the
+    dst table equals the src table; at the end both equal the oracle."""
+    fx, src, dst, segs, chk = pair
+    for i, seg in enumerate(segs):
+        apply_batch(spark, src, spark.read.parquet(seg), batch_id=i,
+                    compact_threshold=None)
+        ticks = mirror.run_mirror(spark, src, dst, chk)
+        assert len(ticks) == 1 and ticks[0].applied
+        assert_state_equal(dst.read(spark), src.read(spark).toPandas())
+    assert_state_equal(dst.read(spark), fx["expected"])
+    # drained: another trigger is a no-op
+    assert mirror.run_mirror(spark, src, dst, chk) == []
+
+
+def test_mirror_catches_up_multi_span(spark, pair):
+    """A mirror that fell behind applies the whole backlog as ONE span
+    (one trigger, one dst commit) and converges."""
+    fx, src, dst, segs, chk = pair
+    for i, seg in enumerate(segs):
+        apply_batch(spark, src, spark.read.parquet(seg), batch_id=i,
+                    compact_threshold=None)
+    ticks = mirror.run_mirror(spark, src, dst, chk)
+    assert len(ticks) == 1
+    assert ticks[0].from_snapshot_id == 1
+    assert ticks[0].to_snapshot_id == src.latest_snapshot_id()
+    assert_state_equal(dst.read(spark), fx["expected"])
+
+
+def test_mirror_crash_between_commit_and_cursor_is_exactly_once(spark, pair, monkeypatch):
+    """Kill the mirror AFTER the dst commit but BEFORE the cursor write:
+    the restart re-runs the same span with the same batch_id and the dst
+    batches log makes the re-apply a no-op — no duplicate commit, state
+    converges."""
+    fx, src, dst, segs, chk = pair
+    for i, seg in enumerate(segs[:2]):
+        apply_batch(spark, src, spark.read.parquet(seg), batch_id=i,
+                    compact_threshold=None)
+
+    real_write = fs.write_json_atomic
+    def crash_on_cursor(path, obj):
+        if path.endswith("mirror-cursor.json"):
+            raise RuntimeError("simulated crash before cursor write")
+        return real_write(path, obj)
+
+    monkeypatch.setattr(mirror.fs, "write_json_atomic", crash_on_cursor)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mirror.mirror_once(spark, src, dst, chk)
+    monkeypatch.undo()
+
+    chain_after_crash = len(dst.committed_chain())
+    ticks = mirror.run_mirror(spark, src, dst, chk)  # restart
+    assert len(ticks) == 1 and ticks[0].from_snapshot_id == 1
+    # idempotent re-apply: no second dst commit for the same span
+    assert len(dst.committed_chain()) == chain_after_crash
+    assert_state_equal(dst.read(spark), src.read(spark).toPandas())
+
+
+def test_mirror_skips_maintenance_commits(spark, pair):
+    """A src compaction commit produces no change rows; the mirror must
+    advance its cursor past it without committing to dst."""
+    fx, src, dst, segs, chk = pair
+    apply_batch(spark, src, spark.read.parquet(segs[0]), batch_id=0,
+                compact_threshold=None)
+    assert len(mirror.run_mirror(spark, src, dst, chk)) == 1
+    dst_chain = len(dst.committed_chain())
+    assert src.compact(spark) is not None
+    ticks = mirror.run_mirror(spark, src, dst, chk)
+    assert len(ticks) == 1 and not ticks[0].applied and ticks[0].rows == 0
+    assert len(dst.committed_chain()) == dst_chain  # no empty dst commit
+    assert mirror.load_cursor(chk) == src.latest_snapshot_id()
+    # subsequent real commits still flow
+    apply_batch(spark, src, spark.read.parquet(segs[1]), batch_id=1,
+                compact_threshold=None)
+    mirror.run_mirror(spark, src, dst, chk)
+    assert_state_equal(dst.read(spark), src.read(spark).toPandas())

@@ -1,0 +1,131 @@
+"""End-to-end test of the spark-submit entry point (tools/submit_ingest.py)
+and the --py-files packaging tool: the north rule's deployment surface.
+
+Runs the CLI's main() in-process (getOrCreate reuses the test session, the
+same way a spark-submit-provided session would be picked up on a cluster)
+through the full operational cycle: bootstrap -> replay -> show -> changes
+-> compact -> expire, asserting the final table state matches the pandas
+oracle bit-for-bit."""
+
+import json
+import os
+import sys
+import zipfile
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import make_pyfiles  # noqa: E402
+import submit_ingest  # noqa: E402
+
+from cfe_39_spark.fixtures import GenConfig, write_fixture  # noqa: E402
+from cfe_39_spark.sources.table import SequenceTable  # noqa: E402
+
+from .util import assert_state_equal  # noqa: E402
+
+
+def run_cli(capsys, *argv):
+    rc = submit_ingest.main(list(argv))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_submit_cli_full_cycle(spark, tmp_path, capsys):
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=20, n_events=100, n_segments=4, seed=97),
+    )
+    table = str(tmp_path / "t")
+    log = str(tmp_path / "fx" / "segments")
+
+    r = run_cli(capsys, "bootstrap", "--table", table,
+                "--initial", str(tmp_path / "fx" / "initial.parquet"),
+                "--buckets", "4")
+    assert r == {"table": table, "snapshot_id": 1, "n_buckets": 4}
+
+    r = run_cli(capsys, "replay", "--log", log, "--table", table)
+    assert r["batches"] == 4
+    assert r["snapshot_id"] == 5  # create + one commit per segment
+
+    r = run_cli(capsys, "show", "--table", table)
+    assert r["snapshot_id"] == 5
+    assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
+
+    out = str(tmp_path / "changes")
+    r = run_cli(capsys, "changes", "--table", table, "--from-snapshot", "1",
+                "--net", "--out", out)
+    assert r["rows"] > 0
+
+    r = run_cli(capsys, "compact", "--table", table)
+    assert r["compacted"] in (True, False)
+
+    r = run_cli(capsys, "expire", "--table", table, "--keep-last", "2")
+    assert isinstance(r, dict)
+    # table still reads correctly after maintenance
+    assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
+
+
+def test_submit_stream_cmd(spark, tmp_path, capsys):
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=15, n_events=60, n_segments=3, seed=101),
+    )
+    table = str(tmp_path / "t")
+    run_cli(capsys, "bootstrap", "--table", table,
+            "--initial", str(tmp_path / "fx" / "initial.parquet"),
+            "--buckets", "4")
+    r = run_cli(capsys, "stream", "--log", str(tmp_path / "fx" / "segments"),
+                "--table", table, "--checkpoint", str(tmp_path / "chk"),
+                "--max-files-per-trigger", "1", "--known-partitions", "8")
+    assert r["batches"] == 3
+    assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
+
+
+def test_submit_mirror_cmd(spark, tmp_path, capsys):
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=15, n_events=60, n_segments=2, seed=107),
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for t in (src, dst):
+        run_cli(capsys, "bootstrap", "--table", t,
+                "--initial", str(tmp_path / "fx" / "initial.parquet"),
+                "--buckets", "4")
+    run_cli(capsys, "replay", "--log", str(tmp_path / "fx" / "segments"),
+            "--table", src)
+    r = run_cli(capsys, "mirror", "--src", src, "--dst", dst,
+                "--checkpoint", str(tmp_path / "chk"))
+    assert r["triggers"] == 1 and r["rows"] > 0
+    assert_state_equal(SequenceTable(dst).read(spark), fx["expected"])
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The --py-files archive must contain the whole package and be
+    importable from the zip alone (what executors do)."""
+    out = str(tmp_path / "cfe39_spark.zip")
+    names = make_pyfiles.build(out)
+    assert "cfe_39_spark/__init__.py" in names
+    assert "cfe_39_spark/operators/cdc.py" in names
+    with zipfile.ZipFile(out) as z:
+        assert sorted(z.namelist()) == sorted(names)
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import cfe_39_spark.operators.cdc as m; "
+        "import cfe_39_spark.sources.table as t; "
+        "print('ok')"
+    )
+    res = subprocess.run([sys.executable, "-c", code, out],
+                         capture_output=True, text=True, timeout=60)
+    assert res.returncode == 0 and res.stdout.strip() == "ok", res.stderr
+
+
+def test_pyfiles_zip_deterministic(tmp_path):
+    a, b = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    make_pyfiles.build(a)
+    make_pyfiles.build(b)
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the CDC ingest engine (BASELINE.json
+north_rule: "run via spark-submit --py-files on a multi-executor
+cluster").
+
+Cluster usage (the production path — master/executors come from
+spark-submit, the engine adds only its session-level tuning):
+
+    python tools/make_pyfiles.py dist/cfe39_spark.zip
+    spark-submit --master yarn --deploy-mode cluster \
+        --num-executors 64 --executor-cores 4 --executor-memory 16g \
+        --py-files dist/cfe39_spark.zip \
+        tools/submit_ingest.py stream \
+        --log hdfs:///logs/changes --table hdfs:///lake/sequences \
+        --checkpoint hdfs:///chk/sequences --continuous
+
+Sandbox usage (same code, local master):
+
+    python tools/submit_ingest.py --local 8 bootstrap \
+        --table /tmp/t --initial /root/testdata/sf0.001/documents.parquet ...
+
+Subcommands map 1:1 to the library API (`cfe_39_spark.streaming.ingest`,
+`cfe_39_spark.sources.table`); this file is argument parsing only — no
+engine logic lives here, so `--py-files` ships everything that matters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_session(args):
+    from pyspark.sql import SparkSession
+
+    from cfe_39_spark.session import engine_conf, get_spark
+
+    if args.local:
+        # sandbox / smoke path: same GC + heap pinning the bench uses
+        return get_spark(master=f"local[{args.local}]",
+                         shuffle_partitions=args.shuffle_partitions)
+    # spark-submit path: master, executor count/cores/memory arrive from
+    # the submit command; the engine layers its session tuning on top.
+    builder = SparkSession.builder.appName("cfe39-cdc-ingest")
+    return engine_conf(builder, args.shuffle_partitions).getOrCreate()
+
+
+def cmd_bootstrap(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    initial = spark.read.parquet(args.initial) if args.initial else None
+    SequenceTable.create(spark, args.table, initial, n_buckets=args.buckets)
+    return {"table": args.table, "snapshot_id": 1, "n_buckets": args.buckets}
+
+
+def cmd_stream(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+    from cfe_39_spark.streaming.ingest import run_stream
+
+    t = SequenceTable(args.table)
+    known = list(range(args.known_partitions)) if args.known_partitions else None
+    n = run_stream(
+        spark,
+        args.log,
+        t,
+        checkpoint=args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.continuous,
+        known_partitions=known,
+    )
+    return {"batches": n, "snapshot_id": t.latest_snapshot_id()}
+
+
+def cmd_replay(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+    from cfe_39_spark.streaming.ingest import replay
+
+    t = SequenceTable(args.table)
+    results = replay(spark, args.log, t,
+                     segments_per_batch=args.segments_per_batch)
+    return {
+        "batches": len(results),
+        "rows_applied": sum(r.rows_applied for r in results),
+        "snapshot_id": t.latest_snapshot_id(),
+    }
+
+
+def cmd_changes(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    ch = t.read_changes(spark, args.from_snapshot, args.to_snapshot,
+                        net=args.net)
+    ch.write.mode("overwrite").parquet(args.out)
+    return {"out": args.out, "rows": spark.read.parquet(args.out).count()}
+
+
+def cmd_mirror(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+    from cfe_39_spark.streaming.mirror import run_mirror
+
+    src = SequenceTable(args.src)
+    dst = SequenceTable(args.dst)
+    known = list(range(args.known_partitions)) if args.known_partitions else None
+    ticks = run_mirror(
+        spark, src, dst, args.checkpoint,
+        available_now=not args.continuous,
+        poll_interval_s=args.poll_interval,
+        max_triggers=args.max_triggers,
+        known_partitions=known,
+    )
+    return {
+        "triggers": len(ticks),
+        "rows": sum(t.rows for t in ticks),
+        "dst_snapshot_id": dst.latest_snapshot_id(),
+    }
+
+
+def cmd_compact(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    sid = t.compact(spark)
+    return {"snapshot_id": sid if sid is not None else t.latest_snapshot_id(),
+            "compacted": sid is not None}
+
+
+def cmd_expire(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    return t.expire_snapshots(keep_last=args.keep_last)
+
+
+def cmd_show(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    snap = t.snapshot()
+    return {
+        "snapshot_id": snap["snapshot_id"],
+        "n_buckets": snap["n_buckets"],
+        "schema_version": snap["schema_version"],
+        "n_files": len(snap["files"]),
+        "rows": t.read(spark).count(),
+    }
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(prog="submit_ingest")
+    p.add_argument("--local", type=int, default=0,
+                   help="sandbox master local[N]; omit under spark-submit")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap", help="create the target table")
+    b.add_argument("--table", required=True)
+    b.add_argument("--initial", help="parquet snapshot to seed from")
+    b.add_argument("--buckets", type=int, default=16)
+
+    s = sub.add_parser("stream", help="tail the change log (S1/S7)")
+    s.add_argument("--log", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--max-files-per-trigger", type=int, default=4)
+    s.add_argument("--continuous", action="store_true",
+                   help="run until killed (default: availableNow bounded run)")
+    s.add_argument("--known-partitions", type=int, default=0,
+                   help="source partition count when known (Kafka topic "
+                        "partitions) — enables the one-job-per-trigger path")
+
+    r = sub.add_parser("replay", help="deterministic batch replay (S2)")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--segments-per-batch", type=int, default=1)
+
+    c = sub.add_parser("changes", help="export incremental changelog (S10)")
+    c.add_argument("--table", required=True)
+    c.add_argument("--from-snapshot", type=int, required=True)
+    c.add_argument("--to-snapshot", type=int, default=None)
+    c.add_argument("--net", action="store_true")
+    c.add_argument("--out", required=True)
+
+    m = sub.add_parser("mirror", help="tail another table's change feed")
+    m.add_argument("--src", required=True)
+    m.add_argument("--dst", required=True)
+    m.add_argument("--checkpoint", required=True)
+    m.add_argument("--continuous", action="store_true")
+    m.add_argument("--poll-interval", type=float, default=1.0)
+    m.add_argument("--max-triggers", type=int, default=None)
+    m.add_argument("--known-partitions", type=int, default=0)
+
+    k = sub.add_parser("compact", help="merge MOR deltas (S8 maintenance)")
+    k.add_argument("--table", required=True)
+
+    e = sub.add_parser("expire", help="expire old snapshots (S8)")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=2)
+
+    w = sub.add_parser("show", help="print table status")
+    w.add_argument("--table", required=True)
+
+    return p.parse_args(argv)
+
+
+COMMANDS = {
+    "bootstrap": cmd_bootstrap,
+    "stream": cmd_stream,
+    "replay": cmd_replay,
+    "changes": cmd_changes,
+    "mirror": cmd_mirror,
+    "compact": cmd_compact,
+    "expire": cmd_expire,
+    "show": cmd_show,
+}
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = build_session(args)
+    out = COMMANDS[args.cmd](spark, args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
