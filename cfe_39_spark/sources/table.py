@@ -437,6 +437,86 @@ class SequenceTable:
         fs.append_line(self._batches_log_path(), f"{batch_id} {sid}")
         return sid
 
+    def rollback(self, to_snapshot_id: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg
+        rollback-to-snapshot role) — the bad-batch recovery path: roll
+        back, then replay corrected batches.
+
+        Append-only: a NEW snapshot is committed whose file manifest,
+        bucket count and schema version are copied from the target, so
+        history (and time travel over it) is preserved and concurrent
+        readers never see a pointer move backwards.  The batches log
+        forgets every rolled-back commit's batch_id — a corrected batch
+        re-submitted under the SAME batch_id must APPLY, not no-op, or
+        the recovery replay would silently skip the fix.  The schema
+        registry keeps every version ever registered (files in older
+        snapshots still reference them).
+
+        Downstream note: ``read_changes`` consumers that already consumed
+        the rolled-back span hold reverted rows; a replayed corrected
+        batch repairs them through normal LWW flow only if it carries new
+        (event_time, offset) pairs — otherwise reset the mirror cursor to
+        ``to_snapshot_id`` and re-bootstrap (the same rule Delta/Iceberg
+        CDF consumers follow after a rollback).
+
+        Runs under the commit mutex; returns the new snapshot id (or the
+        current one when the table is already at the target)."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            latest = self.latest_snapshot_id()
+            if latest == to_snapshot_id:
+                return latest
+            target = self.snapshot(to_snapshot_id)
+            # the target must be an ancestor of the live tip; collect the
+            # rolled-back suffix on the way down
+            rolled: list[dict] = []
+            sid: int | None = latest
+            while sid is not None and sid != to_snapshot_id:
+                s = self.snapshot(sid)
+                rolled.append(s)
+                sid = s["parent_id"]
+            if sid != to_snapshot_id:
+                raise ValueError(
+                    f"snapshot {to_snapshot_id} is not an ancestor of the "
+                    f"current snapshot {latest}; cannot roll back to it"
+                )
+            parent = self.snapshot(latest)
+            taken = [
+                int(f[5:-5])
+                for f in fs.listdir(self.meta_dir)
+                if f.startswith("snap-")
+            ]
+            new_sid = max(taken + [latest]) + 1
+            snap = {
+                "snapshot_id": new_sid,
+                "parent_id": latest,
+                "batch_id": f"__rollback_to_{to_snapshot_id}__",
+                "n_buckets": target["n_buckets"],
+                "schema_version": target["schema_version"],
+                # keep the full registry: files of intermediate snapshots
+                # still decode by their registered version
+                "schemas": dict(parent["schemas"]),
+                "files": list(target["files"]),
+                "change_files": [],
+                "lineage": {"rollback_of": [s["snapshot_id"] for s in rolled]},
+            }
+            fs.write_json_atomic(self._snap_path(new_sid), snap)
+            # forget rolled-back batch ids BEFORE the pointer swap: once
+            # the new tip is visible, find_batch must already say "never
+            # applied" for them (crash between the two writes leaves the
+            # rollback invisible — retry-safe, never half-forgotten)
+            dropped = {s["snapshot_id"] for s in rolled}
+            logp = self._batches_log_path()
+            if fs.exists(logp):
+                kept = [
+                    ln
+                    for ln in fs.read_text(logp).splitlines()
+                    if ln.strip() and int(ln.rsplit(" ", 1)[1]) not in dropped
+                ]
+                fs.write_atomic(logp, "\n".join(kept) + ("\n" if kept else ""))
+            fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(new_sid))
+            fs.append_line(logp, f"__rollback_to_{to_snapshot_id}__ {new_sid}")
+            return new_sid
+
     # ------------------------------------------------------------------ #
     # reads (S3) with schema reconciliation (C7 read side)
     # ------------------------------------------------------------------ #

@@ -126,6 +126,14 @@ def cmd_compact(spark, args):
             "compacted": sid is not None}
 
 
+def cmd_rollback(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    sid = t.rollback(args.to_snapshot)
+    return {"snapshot_id": sid, "rolled_back_to": args.to_snapshot}
+
+
 def cmd_expire(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -194,6 +202,10 @@ def parse_args(argv):
     k = sub.add_parser("compact", help="merge MOR deltas (S8 maintenance)")
     k.add_argument("--table", required=True)
 
+    rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-snapshot", type=int, required=True)
+
     e = sub.add_parser("expire", help="expire old snapshots (S8)")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
@@ -210,6 +222,7 @@ COMMANDS = {
     "replay": cmd_replay,
     "changes": cmd_changes,
     "mirror": cmd_mirror,
+    "rollback": cmd_rollback,
     "compact": cmd_compact,
     "expire": cmd_expire,
     "show": cmd_show,
