@@ -254,6 +254,82 @@ NPROBE = 3  # sim04: cells searched per query (recall/cost dial)
 SEED_SAMPLE_MOD = 16  # farthest-point seeding runs over vec_id % MOD == 0
 SPLIT_FACTOR = 2.0  # split cells holding > FACTOR * original mean occupancy
 MAX_SPLIT_ROUNDS = 4  # recursion depth cap for oversized-cell splitting
+TRAIN_SAMPLE_TARGET = 2048  # quantizer-training sample size (driver-side)
+
+
+def _train_centroids_sample(spark, e: DataFrame):
+    """IVF coarse quantizer trained on a BOUNDED deterministic sample,
+    driver-side (the FAISS production practice: quantizer quality needs
+    only ~max(10k, 256·k) training vectors regardless of corpus size, so
+    training is a metadata-scale problem even at 10^10 vectors — only the
+    sample ever reaches the driver, and assignment / inverted-file build /
+    search stay fully distributed).
+
+    Sampling is a hash gate (`xxhash64(vec_id) % mod == 0`, mod sized from
+    one count job) — deterministic across engines and cluster sizes, no
+    orderBy bias.  Training: farthest-point seeding from the min-vec_id
+    vector, spherical Lloyd to assignment fixpoint (≤20 iters), oversized-
+    cell split identical in rule to the distributed path (`SPLIT_FACTOR`×
+    original mean occupancy, recursive 2-means, flat renumbered leaves).
+    All in float64 with 6-dp rounding of the output so the quantizer is
+    bit-reproducible.  Returns the same (cell, cv) DataFrame shape as
+    ``_train_centroids`` — the fully-distributed trainer kept for corpora
+    whose sample itself must stay distributed (selected there).
+    """
+    import numpy as np
+
+    n = e.count()
+    mod = max(1, n // TRAIN_SAMPLE_TARGET)
+    rows = (
+        e.filter(F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(mod)) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    def lloyd(xn: "np.ndarray", k: int) -> "np.ndarray":
+        if len(xn) <= k:
+            return xn.copy()
+        # farthest-point seeding, deterministic (start = first row = min vec_id)
+        seed_idx = [0]
+        best = xn @ xn[0]
+        for _ in range(k - 1):
+            cand = int(np.argmin(best))  # smallest max-cosine to chosen seeds
+            seed_idx.append(cand)
+            best = np.maximum(best, xn @ xn[cand])
+        cents = xn[seed_idx].copy()
+        assign = None
+        for _ in range(20):
+            new_assign = np.argmax(xn @ cents.T, axis=1)
+            if assign is not None and np.array_equal(new_assign, assign):
+                break
+            assign = new_assign
+            for c in range(len(cents)):
+                members = xn[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
+        return cents
+
+    cents = lloyd(Xn, N_CELLS)
+    mean_occ = len(Xn) / N_CELLS
+    for _ in range(MAX_SPLIT_ROUNDS):
+        assign = np.argmax(Xn @ cents.T, axis=1)
+        sizes = np.bincount(assign, minlength=len(cents))
+        oversized = np.where(sizes > SPLIT_FACTOR * mean_occ)[0]
+        if not len(oversized):
+            break
+        keep = [cents[c] for c in range(len(cents)) if c not in set(oversized.tolist())]
+        for c in oversized:
+            keep.extend(lloyd(Xn[assign == c], 2))
+        cents = np.array(keep)
+    out = np.round(cents, 6)
+    ordered = sorted(out.tolist(), key=str)  # stable renumbering, as the distributed path
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ordered)], "cell int, cv array<double>"
+    )
 
 
 def _rounded_vec() -> Column:
@@ -414,9 +490,15 @@ def sim04(spark, sf):
     caveat, now implemented).  Queries probe their top-NPROBE cells while
     corpus vectors index under exactly one — the standard IVF recall/cost
     dial.  Recall vs the sim01 brute-force baseline is asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Training uses the bounded-sample driver-side trainer
+    (``_train_centroids_sample`` — FAISS practice; the quantizer needs a
+    fixed-size sample however big the corpus); the fully-distributed
+    trainer (``_train_centroids``) stays available and tested for the
+    case where even the training sample must remain distributed."""
     e = table(spark, sf, "embeddings")
-    cents = _train_centroids(spark, e)
+    cents = _train_centroids_sample(spark, e)
     cand = _assign_cells(e, cents, nprobe=1).select("vec_id", "embedding", "cell")
     q = _assign_cells(e.filter(F.col("vec_id") % 50 == 0), cents, nprobe=NPROBE).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"

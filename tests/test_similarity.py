@@ -28,12 +28,13 @@ def test_ivf_recall_vs_bruteforce(spark):
     truth = _pairs(spark, "sim01_cosine_topk")
     got = _pairs(spark, "sim04_ivf_topk")
     recall = len(truth & got) / len(truth)
-    # farthest-point seeding + nprobe=3 of 8 cells on 500 near-isotropic
-    # synthetic 64-d vectors: measured exactly 0.6, deterministically (no
-    # RNG anywhere in the quantizer — md5-free, rounding pinned); random
-    # cell choice would give ~nprobe/N_CELLS = 0.375.  N_CELLS=16/nprobe=4
-    # measured WORSE (0.5): 500 vectors over-segment at 16 cells.
-    assert recall >= 0.6, f"sim04 recall {recall:.2f} < 0.6"
+    # bounded-sample numpy trainer (Lloyd to fixpoint, farthest-point
+    # seeding) on 500 near-isotropic synthetic 64-d vectors with nprobe=3
+    # of 8 cells: measured 0.733, deterministically (no RNG anywhere —
+    # hash-gated sample, fixpoint Lloyd, rounding pinned); the 3-round
+    # distributed trainer measured 0.6; random cell choice would give
+    # ~nprobe/N_CELLS = 0.375.  0.7 is the regression floor.
+    assert recall >= 0.7, f"sim04 recall {recall:.2f} < 0.7"
 
 
 def test_ivf_oversized_cell_split(spark):
@@ -77,3 +78,29 @@ def test_ivf_oversized_cell_split(spark):
     # the hot region got finer granularity: no post-split cell holds the
     # whole clump
     assert max(r["n"] for r in sizes) < 400
+
+
+def test_ivf_sample_trainer_matches_split_behavior_and_determinism(spark):
+    """The bounded-sample numpy trainer (sim04's default) must show the
+    same structural behaviors as the distributed one: oversized-cell
+    splitting on a clumped corpus, and bit-identical centroids across
+    runs (no RNG)."""
+    import hashlib
+
+    from cfe_39_spark.queries.similarity import N_CELLS, _train_centroids_sample
+
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(str(i).encode()).digest()
+        if i < 400:
+            v = [1.0] + [((h[j % 16] / 255.0) - 0.5) * 0.01 for j in range(63)]
+        else:
+            v = [0.0] * 64
+            v[1 + (i % 60)] = 1.0
+            v[63] = (h[0] / 255.0) * 0.1
+        rows.append((i, v))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = _train_centroids_sample(spark, e).collect()
+    assert len(a) > N_CELLS  # split triggered
+    b = _train_centroids_sample(spark, e).collect()
+    assert [(r["cell"], r["cv"]) for r in a] == [(r["cell"], r["cv"]) for r in b]
