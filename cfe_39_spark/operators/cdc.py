@@ -8,9 +8,14 @@ SURVEY.md §3.3).
 Determinism rule (SURVEY.md §4.3): an event wins over stored state iff its
 ``(event_time, offset)`` pair is lexicographically greater than the row's
 ``(_last_event_time, _last_offset)``.  Within a batch, LWW keeps the max
-pair per key.  One ordering rule everywhere => the final table state is
-invariant under batch re-slicing, duplicate delivery, intra-batch shuffling
-and parallelism level — the properties the replay tests assert.
+pair per key, with ``src_partition`` as a deterministic tertiary tiebreak:
+offsets are only monotone per source partition, so two DIFFERENT events on
+different partitions can tie on the pair — without the tiebreak, which
+copy survives would be engine-scheduling-dependent.  (Across batches a
+pair tie keeps the stored row: strict monotonicity.)  One ordering rule
+everywhere => the final table state is invariant under batch re-slicing,
+duplicate delivery, intra-batch shuffling and parallelism level — the
+properties the replay tests assert.
 
 Scale notes:
   * Dedup (C1) and LWW (C2) reduce to a NARROW-COLUMN hash aggregation
@@ -125,28 +130,31 @@ def lww_winners(
     to ``events`` would double-count through the self-join).
     """
     # C1 (dedup by (doc_id, offset)) is subsumed: redelivered copies are
-    # identical rows and tie on the (event_time, offset) ordering key, so
-    # whichever copy the reduction keeps, the output row is the same —
-    # an explicit dropDuplicates would only add a full extra shuffle.
+    # identical rows and tie on the full (event_time, offset,
+    # src_partition) ordering key, so whichever copy the reduction keeps,
+    # the output row is the same — an explicit dropDuplicates would only
+    # add a full extra shuffle.  DIFFERENT events tying on (event_time,
+    # offset) across source partitions break by src_partition, so every
+    # strategy picks the same winner on every run.
     cols = events.columns
     if strategy == "bcast_join":
         ks = keys_source if keys_source is not None else events
         keys = (
             ks.groupBy("doc_id")
-            .agg(F.max(F.struct("event_time", "offset")).alias("_k"))
+            .agg(F.max(F.struct("event_time", "offset", "src_partition")).alias("_k"))
             .select(F.col("doc_id").alias("_kdoc"), "_k")
         )
         joined = events.join(
             F.broadcast(keys),
             (F.col("doc_id") == F.col("_kdoc"))
-            & (F.struct("event_time", "offset") == F.col("_k")),
+            & (F.struct("event_time", "offset", "src_partition") == F.col("_k")),
         ).select(cols)
         # redelivered copies of the winning event tie exactly and both
         # survive the join: collapse them (identical rows, so the kept
         # copy is deterministic by value) — an O(winners) shuffle
         return joined.dropDuplicates(["doc_id"])
     if strategy == "max_by":
-        packed = F.max_by(F.struct(*cols), F.struct("event_time", "offset"))
+        packed = F.max_by(F.struct(*cols), F.struct("event_time", "offset", "src_partition"))
         return (
             events.groupBy("doc_id")
             .agg(packed.alias("_w"))
@@ -157,7 +165,7 @@ def lww_winners(
         "_salt", F.pmod(F.xxhash64("doc_id", "offset"), F.lit(n_salts)).cast("int")
     )
     w1 = Window.partitionBy("doc_id", "_salt").orderBy(
-        F.col("event_time").desc(), F.col("offset").desc()
+        F.col("event_time").desc(), F.col("offset").desc(), F.col("src_partition").desc()
     )
     phase1 = (
         salted.withColumn("_rn", F.row_number().over(w1))
@@ -165,7 +173,7 @@ def lww_winners(
         .drop("_rn", "_salt")
     )
     w2 = Window.partitionBy("doc_id").orderBy(
-        F.col("event_time").desc(), F.col("offset").desc()
+        F.col("event_time").desc(), F.col("offset").desc(), F.col("src_partition").desc()
     )
     return (
         phase1.withColumn("_rn", F.row_number().over(w2))

@@ -79,6 +79,35 @@ def test_lww_strategies_agree(spark, tmp_path, strategy):
     assert_state_equal(table.read(spark), fx["expected"])
 
 
+def test_cross_partition_tie_breaks_deterministically(spark, tmp_path):
+    """Two DIFFERENT events for one doc tying on (event_time, offset)
+    across source partitions (offsets are only per-partition monotone)
+    must resolve identically on every run and under every strategy:
+    src_partition is the tertiary tiebreak, so the partition-3 payload
+    wins over partition-1's."""
+    import datetime
+
+    from cfe_39_spark.operators.cdc import lww_winners
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("d1", [1, 2], 2, "a", "U", 7, 1, 0, 1, ts),
+        ("d1", [9, 9], 2, "b", "U", 7, 3, 0, 1, ts),  # same (ts, offset), higher partition
+        ("d1", [5, 5], 2, "c", "U", 5, 2, 0, 1, ts),  # lower offset: never wins
+    ]
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "op string, offset long, src_partition int, epoch long, "
+              "schema_version int, event_time timestamp")
+    ev = spark.createDataFrame(rows, schema)
+    outcomes = set()
+    for strategy in ("bcast_join", "max_by", "salted_window"):
+        for _ in range(2):  # identical across runs, not just strategies
+            w = lww_winners(ev, strategy).collect()
+            assert len(w) == 1
+            outcomes.add((w[0]["source"], tuple(w[0]["tokens"])))
+    assert outcomes == {("b", (9, 9))}
+
+
 def test_batch_idempotency_on_reapply(spark, tmp_path):
     """Re-applying an already-committed batch_id is a no-op (exactly-once layer 1)."""
     cfg = GenConfig(n_docs_initial=10, n_events=40, n_segments=2, seed=31)
