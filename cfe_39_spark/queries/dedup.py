@@ -234,6 +234,7 @@ def _simhash_sig(spark, sf, nbits: int = 16) -> DataFrame:
 
 HAMMING_MAX = 2  # dd05: near-dup iff hamming(sig_a, sig_b) <= 2 of 32 bits
 N_BLOCKS = 4  # 8-bit blocks; pigeonhole: hamming <= N_BLOCKS-1 => >=1 block equal
+CC_DRIVER_MAX = 100_000  # connected_components: union-find driver-side below this edge count
 
 
 @register(
@@ -289,7 +290,9 @@ def dd05(spark, sf):
     )
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, int]:
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50, driver_max: int | None = None
+) -> tuple[DataFrame, int]:
     """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the hub-safe web-scale kernel.  Versus plain min-label propagation
@@ -303,7 +306,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFr
     back to the edges; edge count never grows above the input.  The
     convergence probe is a bounded symmetric-difference LIMIT-1 job, not
     a collect.  Input: (src, dst) pair list; output: ((doc, label) rows,
-    rounds-used)."""
+    rounds-used).
+
+    Small-graph fast path: near-dup candidate pair lists are usually a
+    tiny fraction of the corpus (LSH banding bounds them); when the
+    DEDUPED edge list fits driver metadata scale (``CC_DRIVER_MAX``
+    edges, probed with limit(max+1) — never an unbounded count), a
+    driver-side union-find computes the identical min-label components
+    in one pass and the iterative rounds never launch.  Label semantics
+    are identical by construction (component minimum), which the shared
+    DuckDB oracle pins.  rounds=0 signals the fast path."""
     e = (
         edges.toDF("u", "v")
         .filter("u != v")
@@ -311,6 +323,31 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFr
         .distinct()
         .localCheckpoint(eager=True)
     )
+    dmax = CC_DRIVER_MAX if driver_max is None else driver_max
+    probe = e.limit(dmax + 1).collect() if dmax > 0 else []
+    if dmax > 0 and len(probe) <= dmax:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in probe:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN root so the final label is the component min
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return (
+            edges.sparkSession.createDataFrame(rows, ["doc", "label"]),
+            0,
+        )
     rounds = 0
     while rounds < max_rounds:
         rounds += 1

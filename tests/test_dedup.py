@@ -17,7 +17,7 @@ def test_cc_hub_bounded_rounds(spark):
     edges = spark.createDataFrame(
         [(hub, i) for i in range(1001) if i != hub], "src long, dst long"
     )
-    labels, rounds = connected_components(edges)
+    labels, rounds = connected_components(edges, driver_max=0)
     got = _labels(labels)
     assert rounds <= 4, f"hub took {rounds} rounds"
     assert len(got) == 1001
@@ -30,7 +30,7 @@ def test_cc_chain_log_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    labels, rounds = connected_components(edges)
+    labels, rounds = connected_components(edges, driver_max=0)
     got = _labels(labels)
     assert rounds <= 10, f"chain took {rounds} rounds (diameter-bound, not log)"
     assert len(got) == 64 and set(got.values()) == {0}
@@ -43,7 +43,7 @@ def test_cc_multiple_components(spark):
         [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
         "src long, dst long",
     )
-    labels, _ = connected_components(edges)
+    labels, _ = connected_components(edges, driver_max=0)
     got = _labels(labels)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
@@ -54,5 +54,20 @@ def test_cc_duplicate_and_reversed_edges(spark):
     edges = spark.createDataFrame(
         [(2, 1), (1, 2), (2, 2), (1, 2), (3, 2)], "src long, dst long"
     )
-    labels, _ = connected_components(edges)
+    labels, _ = connected_components(edges, driver_max=0)
     assert _labels(labels) == {1: 1, 2: 1, 3: 1}
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """The small-graph union-find fast path must produce exactly the
+    distributed kernel's labels (hub + chain + disjoint components +
+    duplicates in one graph) and signal itself via rounds=0."""
+    raw = (
+        [(500, i) for i in range(200) if i != 500]  # hub
+        + [(1000 + i, 1001 + i) for i in range(20)]  # chain
+        + [(2000, 2001), (2001, 2000), (2002, 2002)]  # dup/reversed/self
+    )
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    fast, r_fast = connected_components(edges)
+    dist, r_dist = connected_components(edges, driver_max=0)
+    assert r_fast == 0 and r_dist > 0
+    assert _labels(fast) == _labels(dist)

@@ -87,6 +87,29 @@ def test_mirror_crash_between_commit_and_cursor_is_exactly_once(spark, pair, mon
     assert_state_equal(dst.read(spark), src.read(spark).toPandas())
 
 
+def test_mirror_continuous_mode_picks_up_late_commits(spark, pair):
+    """available_now=False polls: a src commit landing AFTER the mirror
+    starts must still be applied (the daemon shape), then max_triggers
+    bounds the loop for the test."""
+    import threading
+    import time
+
+    fx, src, dst, segs, chk = pair
+
+    def late_writer():
+        time.sleep(1.5)
+        apply_batch(spark, src, spark.read.parquet(segs[0]), batch_id=0,
+                    compact_threshold=None)
+
+    th = threading.Thread(target=late_writer)
+    th.start()
+    ticks = mirror.run_mirror(spark, src, dst, chk, available_now=False,
+                              poll_interval_s=0.2, max_triggers=1)
+    th.join(10)
+    assert len(ticks) == 1 and ticks[0].applied
+    assert_state_equal(dst.read(spark), src.read(spark).toPandas())
+
+
 def test_mirror_skips_maintenance_commits(spark, pair):
     """A src compaction commit produces no change rows; the mirror must
     advance its cursor past it without committing to dst."""
