@@ -234,18 +234,25 @@ def expected_state(initial: pa.Table, events: list[dict]) -> pd.DataFrame:
             "n_tok": r["n_tok"],
             "source": r["source"],
             **{c: None for c in extra_cols},
-            # initial-load rows lose to ANY event: same sentinel pair the
-            # engine stamps at table.create (EPOCH0, -1) — keeping the two
-            # implementations' ordering rules bit-identical even for
+            # initial-load rows lose to ANY event: same sentinel triple the
+            # engine stamps at table.create (EPOCH0, -1, -1) — keeping the
+            # two implementations' ordering rules bit-identical even for
             # events whose event_time predates the fixture base
             "_et": np.datetime64("1970-01-01T00:00:00", "us"),
             "_off": np.int64(-1),
+            "_sp": np.int64(-1),
             "_deleted": False,
         }
-    for e in sorted(events, key=lambda x: (x["event_time"], x["offset"])):
+    # the engine's full ordering rule is the TRIPLE (event_time, offset,
+    # src_partition): offsets are only monotone per source partition, so
+    # two different events can tie on the pair — the persisted tertiary
+    # key breaks the tie identically on both sides (cdc.py determinism rule)
+    for e in sorted(
+        events, key=lambda x: (x["event_time"], x["offset"], x["src_partition"])
+    ):
         cur = state.get(e["doc_id"])
-        pair = (e["event_time"], e["offset"])
-        if cur is not None and pair <= (cur["_et"], cur["_off"]):
+        triple = (e["event_time"], e["offset"], e["src_partition"])
+        if cur is not None and triple <= (cur["_et"], cur["_off"], cur["_sp"]):
             continue  # idempotency / LWW: not lexicographically newer
         if e["op"] == "D":
             row = {
@@ -256,6 +263,7 @@ def expected_state(initial: pa.Table, events: list[dict]) -> pd.DataFrame:
                 **{c: None for c in extra_cols},
                 "_et": e["event_time"],
                 "_off": e["offset"],
+                "_sp": e["src_partition"],
                 "_deleted": True,
             }
         else:
@@ -267,11 +275,12 @@ def expected_state(initial: pa.Table, events: list[dict]) -> pd.DataFrame:
                 **{c: e.get(c) for c in extra_cols},
                 "_et": e["event_time"],
                 "_off": e["offset"],
+                "_sp": e["src_partition"],
                 "_deleted": False,
             }
         state[e["doc_id"]] = row
     rows = [
-        {k: v for k, v in r.items() if k not in ("_et", "_off", "_deleted")}
+        {k: v for k, v in r.items() if k not in ("_et", "_off", "_sp", "_deleted")}
         for r in state.values()
         if not r["_deleted"]
     ]

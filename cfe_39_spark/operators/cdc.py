@@ -6,16 +6,20 @@ streaming mode and from the batch replayer — one pipeline, two drivers,
 SURVEY.md §3.3).
 
 Determinism rule (SURVEY.md §4.3): an event wins over stored state iff its
-``(event_time, offset)`` pair is lexicographically greater than the row's
-``(_last_event_time, _last_offset)``.  Within a batch, LWW keeps the max
-pair per key, with ``src_partition`` as a deterministic tertiary tiebreak:
-offsets are only monotone per source partition, so two DIFFERENT events on
-different partitions can tie on the pair — without the tiebreak, which
-copy survives would be engine-scheduling-dependent.  (Across batches a
-pair tie keeps the stored row: strict monotonicity.)  One ordering rule
-everywhere => the final table state is invariant under batch re-slicing,
-duplicate delivery, intra-batch shuffling and parallelism level — the
-properties the replay tests assert.
+``(event_time, offset, src_partition)`` triple is lexicographically greater
+than the row's ``(_last_event_time, _last_offset, _last_src_partition)``.
+The tertiary key exists because offsets are only monotone per source
+partition, so two DIFFERENT events on different partitions can tie on
+(event_time, offset) — without the tiebreak, which copy survives would be
+engine-scheduling-dependent.  The winner's src_partition is PERSISTED as
+``_last_src_partition`` bookkeeping, so the same tertiary rule applies
+across batch boundaries, at merge-on-read resolution (``lww_resolve``) and
+in the COW monotonicity filter — a tie split across two micro-batches
+resolves exactly as it would inside one batch.  (A tie on the FULL triple
+is the same event redelivered: the stored row is kept, idempotently.)  One
+ordering rule everywhere => the final table state is invariant under batch
+re-slicing, duplicate delivery, intra-batch shuffling and parallelism
+level — the properties the replay tests assert.
 
 Scale notes:
   * Dedup (C1) and LWW (C2) reduce to a NARROW-COLUMN hash aggregation
@@ -79,9 +83,19 @@ class ApplyResult:
     per_partition: list[dict] = field(default_factory=list)
 
 
-def _lex_gt(b_et, b_off, t_et, t_off):
-    """(b_et, b_off) > (t_et, t_off), null target => True (new key)."""
-    return t_et.isNull() | (b_et > t_et) | ((b_et == t_et) & (b_off > t_off))
+def _lex_gt(b_et, b_off, b_sp, t_et, t_off, t_sp):
+    """(b_et, b_off, b_sp) > (t_et, t_off, t_sp); null target => True (new
+    key).  ``t_sp`` null (legacy rows without the persisted tiebreak)
+    sorts lowest, matching ``lww_resolve``."""
+    t_sp = F.coalesce(t_sp, F.lit(-1))
+    return (
+        t_et.isNull()
+        | (b_et > t_et)
+        | (
+            (b_et == t_et)
+            & ((b_off > t_off) | ((b_off == t_off) & (b_sp > t_sp)))
+        )
+    )
 
 
 # ------------------------------------------------------------------ #
@@ -367,7 +381,9 @@ def apply_batch(
         target_slice = lww_resolve(target_slice)
 
     # ---- C4: applies-flag via column-pruned bookkeeping join ----
-    bk = target_slice.select("doc_id", "_last_event_time", "_last_offset")
+    bk = target_slice.select(
+        "doc_id", "_last_event_time", "_last_offset", "_last_src_partition"
+    )
     b = winners.select(
         F.col("doc_id").alias("_b_doc_id"),
         "op",
@@ -388,10 +404,12 @@ def apply_batch(
         _lex_gt(
             F.col("event_time"),
             F.col("offset"),
+            F.col("src_partition"),
             F.col("_last_event_time"),
             F.col("_last_offset"),
+            F.col("_last_src_partition"),
         ),
-    ).drop("doc_id", "_last_event_time", "_last_offset")
+    ).drop("doc_id", "_last_event_time", "_last_offset", "_last_src_partition")
     w = w.persist()
 
     # ---- C6: applied counts per source partition (lineage) ----
@@ -425,6 +443,9 @@ def apply_batch(
         F.when(applies, F.col("offset")).otherwise(target_slice["_last_offset"]).alias("_last_offset"),
         F.when(applies, F.col("event_time")).otherwise(target_slice["_last_event_time"]).alias("_last_event_time"),
         F.when(applies, F.col("epoch")).otherwise(target_slice["_last_epoch"]).alias("_last_epoch"),
+        F.when(applies, F.col("src_partition"))
+        .otherwise(target_slice["_last_src_partition"])
+        .alias("_last_src_partition"),
         F.when(is_delete, F.lit(True))
         .when(applies, F.lit(False))
         .otherwise(F.coalesce(target_slice["_deleted"], F.lit(False)))
@@ -455,6 +476,7 @@ def apply_batch(
         F.col("offset").alias("_last_offset"),
         F.col("event_time").alias("_last_event_time"),
         F.col("epoch").alias("_last_epoch"),
+        F.col("src_partition").cast("int").alias("_last_src_partition"),
         ch_is_del.alias("_deleted"),
     ]
     change_files = table._write_data_files(
@@ -536,6 +558,7 @@ def _apply_mor(
         F.col("offset").alias("_last_offset"),
         F.col("event_time").alias("_last_event_time"),
         F.col("epoch").alias("_last_epoch"),
+        F.col("src_partition").cast("int").alias("_last_src_partition"),
         is_del.alias("_deleted"),
     ]
     # C6 lineage counts ride the delta-write job itself (observe = JVM-side

@@ -10,7 +10,7 @@ oracle computes bit-identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .base import register, table
 
@@ -323,9 +323,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # labels schema is fixed by the edges' node type: createDataFrame
+    # cannot infer it from an empty (or Row-typed) list, and a zero-edge
+    # corpus (no verified near-dup pairs) is a legal input, not an error
+    node_t = e.schema["u"].dataType
+    label_schema = T.StructType(
+        [T.StructField("doc", node_t), T.StructField("label", node_t)]
+    )
     dmax = CC_DRIVER_MAX if driver_max is None else driver_max
     probe = e.limit(dmax + 1).collect() if dmax > 0 else []
     if dmax > 0 and len(probe) <= dmax:
+        if not probe:
+            return edges.sparkSession.createDataFrame([], label_schema), 0
         parent: dict = {}
 
         def find(x):
@@ -345,7 +354,7 @@ def connected_components(
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
         return (
-            edges.sparkSession.createDataFrame(rows, ["doc", "label"]),
+            edges.sparkSession.createDataFrame(rows, label_schema),
             0,
         )
     rounds = 0

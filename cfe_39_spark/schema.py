@@ -41,6 +41,14 @@ BOOKKEEPING_FIELDS = [
     T.StructField("_last_offset", T.LongType(), False),
     T.StructField("_last_event_time", T.TimestampType(), False),
     T.StructField("_last_epoch", T.LongType(), True),
+    # Tertiary LWW tiebreak, PERSISTED: offsets are only monotone per
+    # source partition, so two different events can tie on (event_time,
+    # offset) across partitions.  The write path breaks that tie by
+    # src_partition; storing the winner's src_partition lets read-time
+    # resolution (lww_resolve) and the COW monotonicity filter apply the
+    # SAME tertiary rule across batch boundaries — without it, the final
+    # state would depend on how the event log was sliced into batches.
+    T.StructField("_last_src_partition", T.IntegerType(), True),
     T.StructField("_deleted", T.BooleanType(), False),
 ]
 BOOKKEEPING_COLS = [f.name for f in BOOKKEEPING_FIELDS]

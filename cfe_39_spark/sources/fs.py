@@ -15,6 +15,13 @@ import tempfile
 from typing import Any
 
 
+class LockLostError(RuntimeError):
+    """A mutex holder's token vanished mid-critical-section (it overran the
+    stale budget and a waiter broke the lock, or lost the restore race).
+    Semantics match a commit conflict: another writer may have entered —
+    re-plan and retry."""
+
+
 def write_atomic(path: str, data: str) -> None:
     """Write ``data`` to ``path`` atomically (tmp file + fsync + rename)."""
     d = os.path.dirname(path)
@@ -92,7 +99,16 @@ class mutex:
       match the stale observation is it unlinked.  If the claim turns
       out fresh (the mtime advanced between observation and rename), the
       breaker restores it with ``os.link`` — atomic-exclusive, so it
-      never clobbers a lock some third writer created in the window."""
+      never clobbers a lock some third writer created in the window;
+    * the restore is BEST-EFFORT: if a third waiter acquired in the
+      rename->link window, the live holder's lock inode is gone and two
+      processes would be inside the critical section.  ``verify()``
+      closes that hole — holders call it immediately before their
+      irreversible step (the metadata pointer swap); a holder whose
+      token no longer sits at ``path`` lost the lock and must abort.
+      The heartbeat likewise retries a transiently-missing path (the
+      same rename->link window) instead of dying, so a restored holder
+      keeps its stale protection."""
 
     def __init__(self, path: str, timeout_s: float = 30.0, stale_s: float = 60.0):
         self.path = path
@@ -163,21 +179,40 @@ class mutex:
                 try:
                     os.utime(path)
                 except OSError:
-                    return
+                    # transient: a stale-breaker may hold our inode at its
+                    # trash name for the rename->restore window — keep
+                    # beating so a restored lock regains stale protection
+                    # (a genuinely lost lock is caught by verify())
+                    continue
 
         self._hb_thread = threading.Thread(target=_beat, daemon=True)
         self._hb_thread.start()
         return self
 
+    def still_held(self) -> bool:
+        """True iff the lock file still carries OUR token."""
+        try:
+            with open(self.path, "rb") as f:
+                return f.read() == self._token
+        except OSError:
+            return False
+
+    def verify(self) -> None:
+        """Raise ``LockLostError`` unless we still hold the lock.  Call
+        immediately before the critical section's irreversible step: a
+        holder that overran ``stale_s`` (or lost its inode to the
+        stale-break restore race) must abort rather than race the waiter
+        that legitimately broke in."""
+        if not self.still_held():
+            raise LockLostError(
+                f"commit lock lost (stale-broken) before the metadata swap: "
+                f"{self.path}"
+            )
+
     def __exit__(self, *exc):
         if self._hb_stop is not None:
             self._hb_stop.set()
-        try:
-            with open(self.path, "rb") as f:
-                owned = f.read() == self._token
-        except OSError:
-            owned = False
-        if owned:
+        if self.still_held():
             # unlink only our own lock; if we overran stale_s and were
             # broken, the file now carries the next holder's token
             try:

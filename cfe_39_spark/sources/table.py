@@ -72,13 +72,22 @@ def bucket_expr(doc_id_col: str, n_buckets: int):
 def lww_resolve(df: DataFrame) -> DataFrame:
     """Collapse a multi-version row set (base + merge-on-read deltas) to one
     winner per doc_id by the engine's single ordering rule: max
-    (_last_event_time, _last_offset).  One hash aggregation with map-side
+    (_last_event_time, _last_offset, _last_src_partition) — the same
+    triple (event_time, offset, src_partition) the write side orders by,
+    so read-time resolution of merge-on-read deltas picks the exact row a
+    copy-on-write apply would have kept, whatever batch slicing produced
+    the deltas.  One hash aggregation with map-side
     partial combine — a hot key collapses per map task before the shuffle,
     so resolution inherits the skew story of the write path."""
     cols = df.columns
     packed = F.max_by(
         F.struct(*[F.col(c) for c in cols]),
-        F.struct("_last_event_time", "_last_offset"),
+        F.struct(
+            "_last_event_time",
+            "_last_offset",
+            # legacy rows without the persisted tiebreak sort lowest
+            F.coalesce(F.col("_last_src_partition"), F.lit(-1)).alias("_sp"),
+        ),
     )
     return (
         df.groupBy("doc_id")
@@ -90,9 +99,14 @@ def lww_resolve(df: DataFrame) -> DataFrame:
 def changes_as_events(changes: DataFrame) -> DataFrame:
     """Convert a ``read_changes`` feed back into a raw change-event batch
     (the shape ``apply_batch`` ingests), closing the CDC loop: table A's
-    changelog becomes table B's input log.  The ordering pair survives the
-    round trip ((_last_event_time, _last_offset) -> (event_time, offset)),
-    so a chained apply reaches the exact same LWW outcome as the original."""
+    changelog becomes table B's input log.  The full ordering TRIPLE
+    survives the round trip ((_last_event_time, _last_offset,
+    _last_src_partition) -> (event_time, offset, src_partition)), so a
+    chained apply reaches the exact same LWW outcome as the original —
+    including ties on (event_time, offset) that break by src_partition.
+    Commit provenance stays available as ``_commit_snapshot_id`` on the
+    raw feed; the mirror derives its lineage hint from span metadata
+    (``SequenceTable.span_src_partitions``), not from this column."""
     user_cols = [
         c
         for c in changes.columns
@@ -120,7 +134,9 @@ def changes_as_events(changes: DataFrame) -> DataFrame:
         F.col("_last_offset").alias("offset"),
         F.col("_last_event_time").alias("event_time"),
         F.col("_last_epoch").alias("epoch"),
-        F.col("_commit_snapshot_id").cast("int").alias("src_partition"),
+        F.coalesce(F.col("_last_src_partition"), F.lit(-1))
+        .cast("int")
+        .alias("src_partition"),
         sv.alias("schema_version"),
         *user_cols,
     )
@@ -197,6 +213,7 @@ class SequenceTable:
                 .withColumn("_last_offset", F.lit(-1).cast("long"))
                 .withColumn("_last_event_time", F.lit(EPOCH0).cast("timestamp"))
                 .withColumn("_last_epoch", F.lit(-1).cast("long"))
+                .withColumn("_last_src_partition", F.lit(-1).cast("int"))
                 .withColumn("_deleted", F.lit(False))
             )
             files = t._write_data_files(stamped, n_buckets, schema_version, batch_tag="init")
@@ -370,11 +387,14 @@ class SequenceTable:
         role).  The whole critical section (probe -> descriptor -> pointer
         swap -> log line) runs under an O_EXCL metadata lock, so concurrent
         local writers are linearized; the lock guards milliseconds of
-        metadata IO, never data writes."""
-        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+        metadata IO, never data writes.  Immediately before the pointer
+        swap the holder re-verifies its lock token: a holder that overran
+        the stale budget (and was legitimately broken by a waiter) aborts
+        with ``CommitConflictError`` instead of racing the new holder."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             return self._commit_locked(
                 batch_id, new_files, carried_files, schema_version, new_schema,
-                lineage, n_buckets, change_files, expected_parent_id,
+                lineage, n_buckets, change_files, expected_parent_id, lock=lk,
             )
 
     def _commit_locked(
@@ -388,6 +408,7 @@ class SequenceTable:
         n_buckets: int | None,
         change_files: list[dict] | None,
         expected_parent_id: int | None,
+        lock: fs.mutex | None = None,
     ) -> int:
         existing = self.find_batch(str(batch_id))
         if existing is not None:
@@ -433,6 +454,15 @@ class SequenceTable:
             "lineage": lineage or {},
         }
         fs.write_json_atomic(self._snap_path(sid), snap)
+        if lock is not None:
+            # the pointer swap is the irreversible step: if our lock was
+            # stale-broken (we overran the budget, or lost the break-restore
+            # race), another writer may already be past the probe — abort;
+            # the descriptor above is an orphan (never reused, expiry-cleaned)
+            try:
+                lock.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
         fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(sid))
         fs.append_line(self._batches_log_path(), f"{batch_id} {sid}")
         return sid
@@ -461,7 +491,7 @@ class SequenceTable:
 
         Runs under the commit mutex; returns the new snapshot id (or the
         current one when the table is already at the target)."""
-        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             latest = self.latest_snapshot_id()
             if latest == to_snapshot_id:
                 return latest
@@ -500,6 +530,12 @@ class SequenceTable:
                 "lineage": {"rollback_of": [s["snapshot_id"] for s in rolled]},
             }
             fs.write_json_atomic(self._snap_path(new_sid), snap)
+            # log rewrite + pointer swap mutate shared state: abort first
+            # if our lock was stale-broken (see commit())
+            try:
+                lk.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
             # forget rolled-back batch ids BEFORE the pointer swap: once
             # the new tip is visible, find_batch must already say "never
             # applied" for them (crash between the two writes leaves the
@@ -758,6 +794,38 @@ class SequenceTable:
             "_change_type",
             F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
         )
+
+    def span_src_partitions(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[int] | None:
+        """The set of source partitions whose events are present in the
+        change span (from, to] — derived purely from the span snapshots'
+        lineage metadata (driver-side, O(span) JSON reads, no data scan).
+
+        This is the ``known_partitions`` hint a changelog CONSUMER passes
+        to ``apply_batch`` so its lineage stats ride the delta-write scan
+        (the fused one-job-per-trigger path): ``changes_as_events`` emits
+        each row's ORIGINAL ``src_partition`` (persisted as
+        ``_last_src_partition``), and every commit's lineage records
+        exactly which partitions it ingested, so the union over the span
+        is the feed's partition set.  Returns None when any span commit
+        with change files lacks per-partition lineage (pre-upgrade
+        tables) — callers then take the unfused stats path (correct,
+        two extra jobs)."""
+        to_sid = (
+            to_snapshot_id if to_snapshot_id is not None else self.latest_snapshot_id()
+        )
+        parts: set[int] = set()
+        sid: int | None = to_sid
+        while sid is not None and sid != from_snapshot_id:
+            s = self.snapshot(sid)
+            if s.get("change_files"):
+                pp = (s.get("lineage") or {}).get("per_partition")
+                if not pp:
+                    return None
+                parts.update(int(r["src_partition"]) for r in pp)
+            sid = s["parent_id"]
+        return sorted(parts)
 
     def plan_merge_files(
         self, snap: dict, touched_buckets: set[int], key_bounds: dict[int, tuple[str, str]]

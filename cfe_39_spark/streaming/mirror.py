@@ -50,9 +50,11 @@ def _cursor_path(checkpoint_dir: str) -> str:
 
 
 def load_cursor(checkpoint_dir: str) -> int:
-    """Last source snapshot id applied to dst (0 = nothing yet: the dst
-    table is assumed bootstrapped from src snapshot 1's full state, or
-    empty and fed from the very first commit)."""
+    """Last source snapshot id applied to dst.  With no cursor file yet it
+    returns 1 — the id ``SequenceTable.create`` always commits first — so a
+    fresh mirror consumes every post-create commit: the dst table is
+    assumed bootstrapped from src snapshot 1's full state (or empty, when
+    src was created empty and fed purely through commits)."""
     p = _cursor_path(checkpoint_dir)
     if fs.exists(p):
         return int(fs.read_json(p)["from_snapshot_id"])
@@ -77,7 +79,17 @@ def mirror_once(
     known_partitions: list[int] | None = None,
 ) -> MirrorTick | None:
     """Apply one span (cursor -> src latest) to dst.  Returns None when
-    the source has no new commits."""
+    the source has no new commits.
+
+    ``known_partitions`` default: derived from the span snapshots' lineage
+    metadata (``src.span_src_partitions`` — driver-side JSON only), which
+    matches the feed exactly because ``changes_as_events`` re-emits each
+    row's original persisted ``src_partition``.  With the hint, the dst
+    apply's lineage stats ride the delta-write scan itself — the fused
+    ONE-job-per-trigger MOR path the primary ingest uses.  Pass an
+    explicit list to override, or a pre-upgrade source without
+    per-partition lineage falls back to the unfused two-extra-jobs stats
+    path (correct, just not fused)."""
     cursor = load_cursor(checkpoint_dir)
     latest = src.latest_snapshot_id()
     if latest <= cursor:
@@ -88,8 +100,13 @@ def mirror_once(
     n = events.count()
     applied = False
     if n > 0:
+        hint = (
+            known_partitions
+            if known_partitions is not None
+            else src.span_src_partitions(cursor, latest)
+        )
         apply_batch(spark, dst, events, batch_id=batch_id,
-                    known_partitions=known_partitions)
+                    known_partitions=hint)
         applied = True
     # advance the cursor only after the dst commit is durable; the commit
     # itself is idempotent on batch_id, so a crash in this window replays

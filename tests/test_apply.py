@@ -108,6 +108,44 @@ def test_cross_partition_tie_breaks_deterministically(spark, tmp_path):
     assert outcomes == {("b", (9, 9))}
 
 
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_cross_batch_tie_persists_tiebreak(spark, tmp_path, mode):
+    """The tertiary src_partition tiebreak must survive BATCH BOUNDARIES:
+    two different events tying on (event_time, offset) must resolve to the
+    same winner whether they arrive in one batch or split across two, in
+    either arrival order, under MOR read-time resolution and COW merge
+    alike.  Requires the winner's src_partition to be persisted
+    (_last_src_partition) — with only the pair stored, the split case is
+    nondeterministic (ADVICE r3)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "op string, offset long, src_partition int, epoch long, "
+              "schema_version int, event_time timestamp")
+    lo = ("d1", [1, 2], 2, "a", "U", 7, 1, 0, 1, ts)  # partition 1
+    hi = ("d1", [9, 9], 2, "b", "U", 7, 3, 0, 1, ts)  # partition 3: must win
+    slicings = {
+        "one_batch": [[lo, hi]],
+        "lo_then_hi": [[lo], [hi]],
+        "hi_then_lo": [[hi], [lo]],
+    }
+    for tag, batches in slicings.items():
+        t = SequenceTable.create(
+            spark, str(tmp_path / f"t-{mode}-{tag}"), n_buckets=2
+        )
+        for i, rows in enumerate(batches):
+            apply_batch(spark, t, spark.createDataFrame(rows, schema),
+                        batch_id=i, mode=mode, compact_threshold=None)
+        got = t.read(spark).collect()
+        assert len(got) == 1, (mode, tag, got)
+        assert got[0]["source"] == "b", (mode, tag, got)
+        assert list(got[0]["tokens"]) == [9, 9], (mode, tag)
+        # and the persisted bookkeeping carries the winning partition
+        st = t.read_state(spark).collect()[0]
+        assert st["_last_src_partition"] == 3, (mode, tag, st)
+
+
 def test_batch_idempotency_on_reapply(spark, tmp_path):
     """Re-applying an already-committed batch_id is a no-op (exactly-once layer 1)."""
     cfg = GenConfig(n_docs_initial=10, n_events=40, n_segments=2, seed=31)

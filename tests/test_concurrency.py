@@ -192,3 +192,79 @@ def test_mutex_exit_does_not_unlink_next_holders_lock(tmp_path):
     assert os.path.exists(lock)
     m2.__exit__(None, None, None)
     assert not os.path.exists(lock)
+
+
+def test_mutex_verify_detects_lost_lock(tmp_path):
+    """A holder whose lock was stale-broken (or lost to the break-restore
+    race) must fail verify() BEFORE the irreversible metadata swap — the
+    hole ADVICE r3 flagged in the rename->link restore window."""
+    lock_path = str(tmp_path / "_LOCK")
+    with fs.mutex(lock_path) as lk:
+        assert lk.still_held()
+        lk.verify()  # held: no raise
+        # simulate a waiter breaking the lock and acquiring it
+        import os
+
+        os.unlink(lock_path)
+        with open(lock_path, "wb") as f:
+            f.write(b"someone-else:token")
+        assert not lk.still_held()
+        with pytest.raises(fs.LockLostError):
+            lk.verify()
+    # __exit__ must NOT unlink the new holder's lock
+    with open(lock_path, "rb") as f:
+        assert f.read() == b"someone-else:token"
+
+
+def test_mutex_heartbeat_survives_transient_missing_path(tmp_path):
+    """The heartbeat must retry a transiently-missing lock file (the
+    stale-breaker's rename->restore window) instead of dying — otherwise a
+    restored holder silently loses stale protection (ADVICE r3)."""
+    import os
+    import time
+
+    lock_path = str(tmp_path / "_LOCK")
+    with fs.mutex(lock_path, stale_s=0.4) as lk:
+        # simulate the breaker's window: file gone for a moment, restored
+        os.rename(lock_path, lock_path + ".trash")
+        time.sleep(0.3)  # heartbeat fires >=1x on the missing path
+        os.rename(lock_path + ".trash", lock_path)
+        st0 = os.stat(lock_path).st_mtime_ns
+        time.sleep(0.3)  # heartbeat must still be alive and beating
+        assert os.stat(lock_path).st_mtime_ns > st0
+        assert lk.still_held()
+
+
+def test_commit_aborts_when_lock_stale_broken(spark, tmp_path, monkeypatch):
+    """End-to-end: a commit whose lock is lost mid-critical-section raises
+    CommitConflictError at the pointer swap instead of clobbering the new
+    holder's view."""
+    t = SequenceTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+
+    real_verify = fs.mutex.verify
+
+    def sabotage(self):
+        # simulate the lock being broken+taken between acquisition and swap
+        import os
+
+        if os.path.exists(self.path):
+            with open(self.path, "wb") as f:
+                f.write(b"thief:token")
+        return real_verify(self)
+
+    monkeypatch.setattr(fs.mutex, "verify", sabotage)
+    with pytest.raises(CommitConflictError):
+        t.commit("b1", [], t.snapshot()["files"])
+    monkeypatch.undo()
+    # the "thief" releases its lock (in the real race, the breaking waiter
+    # finishes its own critical section and unlinks)
+    import os
+
+    lockp = os.path.join(t.meta_dir, "_LOCK")
+    if os.path.exists(lockp):
+        os.unlink(lockp)
+    # table unharmed: pointer never moved, next commit succeeds (the
+    # aborted attempt's descriptor is an orphan — its id is never reused)
+    assert t.latest_snapshot_id() == 1
+    sid = t.commit("b1", [], t.snapshot()["files"])
+    assert sid == 3 and t.latest_snapshot_id() == sid

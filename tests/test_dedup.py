@@ -71,3 +71,24 @@ def test_cc_driver_fast_path_matches_distributed(spark):
     dist, r_dist = connected_components(edges, driver_max=0)
     assert r_fast == 0 and r_dist > 0
     assert _labels(fast) == _labels(dist)
+
+
+def test_cc_empty_edges_both_paths(spark):
+    """Zero verified near-dup pairs is a legal corpus state: both the
+    driver fast path and the distributed kernel must return an empty,
+    correctly-typed label set (ADVICE r3: the fast path used to crash on
+    schema inference from an empty list)."""
+    edges = spark.createDataFrame([], "src long, dst long")
+    for dmax in (100000, 0):  # fast path, distributed path
+        labels, _ = connected_components(edges, driver_max=dmax)
+        assert labels.count() == 0
+        assert [f.name for f in labels.schema.fields] == ["doc", "label"]
+        assert labels.schema["doc"].dataType.simpleString() == "bigint"
+
+
+def test_cc_self_loops_only(spark):
+    """Edges that all collapse to self-loops dedupe to an empty edge set —
+    same empty-result contract as no edges at all."""
+    edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    labels, _ = connected_components(edges)
+    assert labels.count() == 0

@@ -128,3 +128,41 @@ def test_mirror_skips_maintenance_commits(spark, pair):
                 compact_threshold=None)
     mirror.run_mirror(spark, src, dst, chk)
     assert_state_equal(dst.read(spark), src.read(spark).toPandas())
+
+
+def test_mirror_derives_fused_hint_from_span_lineage(spark, pair, monkeypatch):
+    """With no explicit known_partitions, the mirror derives the hint from
+    the span snapshots' lineage (span_src_partitions) so the dst apply
+    takes the fused one-job stats path — ADVICE r3 flagged that the old
+    snapshot-id-based stamping made the fused path unreachable.  The hint
+    must match the feed's actual src_partition set (the ORIGINAL source
+    partitions, re-emitted by changes_as_events), and the mirrored state
+    must stay bit-for-bit equal."""
+    fx, src, dst, segs, chk = pair
+    import cfe_39_spark.streaming.mirror as m
+    from cfe_39_spark.operators import cdc
+
+    seen_hints = []
+    real_apply = cdc.apply_batch
+
+    def spy(spark_, table_, events_, **kw):
+        seen_hints.append(kw.get("known_partitions"))
+        return real_apply(spark_, table_, events_, **kw)
+
+    monkeypatch.setattr(m, "apply_batch", spy)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, src, spark.read.parquet(seg), batch_id=i)
+        m.mirror_once(spark, src, dst, chk)
+    assert seen_hints and all(h is not None for h in seen_hints)
+    # hint == the true partition set of the span's events
+    import pyspark.sql.functions as F
+
+    all_parts = set()
+    for seg in segs:
+        all_parts |= {
+            r["src_partition"]
+            for r in spark.read.parquet(seg).select("src_partition").distinct().collect()
+        }
+    assert set().union(*[set(h) for h in seen_hints]) <= all_parts
+    assert_state_equal(dst.read(spark), fx["expected"])
+    assert_state_equal(dst.read(spark), src.read(spark).orderBy("doc_id").toPandas())
