@@ -81,6 +81,22 @@ class ApplyResult:
     noop: bool = False
     wall_ms: int = 0
     per_partition: list[dict] = field(default_factory=list)
+    lww_strategy_used: str = ""
+
+
+# Broadcast budget for the 'auto' LWW strategy: above this many distinct
+# keys per trigger, the (key -> winning pair) map is too big to broadcast
+# and 'auto' falls back to the single-agg max_by plan.  ~100 B/key JVM-side
+# => the default caps the broadcast near 200 MB.  Env-overridable so a
+# deployment can align it with spark.sql.autoBroadcastJoinThreshold.
+BCAST_KEY_BUDGET = int(os.environ.get("CFE39_BCAST_KEY_BUDGET", "2000000"))
+
+# 'auto' feedback for the fused one-job path: last observed distinct-key
+# count per table root (the fused path has no pre-plan stats job to measure
+# with, so trigger N+1 plans from trigger N's observation — trigger sizing
+# is stable under a maxOffsetsPerTrigger-style source, which is what makes
+# feedback control the right shape there).
+_LAST_DISTINCT_KEYS: dict[str, int] = {}
 
 
 def _lex_gt(b_et, b_off, b_sp, t_et, t_off, t_sp):
@@ -241,13 +257,27 @@ def apply_batch(
     table: SequenceTable,
     events: DataFrame,
     batch_id: str | int,
-    lww_strategy: str = "bcast_join",
+    lww_strategy: str = "auto",
     n_salts: int = 8,
     mode: str = "mor",
     compact_threshold: int | None = 16,
     known_partitions: list[int] | None = None,
+    bcast_key_budget: int | None = None,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the table, exactly once.
+
+    ``lww_strategy='auto'`` (default) guards the bcast_join hot path's one
+    foot-gun — its broadcast is O(distinct keys in the batch), fine under
+    trigger sizing but fatal if a mis-sized trigger ships a huge unique-key
+    batch.  auto picks bcast_join while the measured distinct-key count is
+    within ``bcast_key_budget`` (default ``BCAST_KEY_BUDGET``) and falls
+    back to the single-agg max_by plan above it (property-equal — the
+    strategies are tested equivalent).  The measurement is free: the
+    unfused path piggybacks ``approx_count_distinct`` on the stats job it
+    already runs (per-partition sum = a safe upper bound); the fused
+    one-job path has no pre-plan job, so it plans trigger N+1 from trigger
+    N's observed count (first trigger: optimistic bcast_join).  The chosen
+    plan is reported as ``ApplyResult.lww_strategy_used``.
 
     ``known_partitions``: the source's partition ids when the caller knows
     them (a Kafka consumer always does — topic partition count).  With the
@@ -291,15 +321,23 @@ def apply_batch(
     # ---- C7: reconcile schemas (metadata-only; no data rewrite) ----
     new_schema, changes = evolve_schema(table_schema, events.schema)
 
+    budget = BCAST_KEY_BUDGET if bcast_key_budget is None else bcast_key_budget
+
     if mode == "mor" and known_partitions is not None:
         # fused-stats fast path: lineage stats + batch schema_version are
         # observed DURING the delta-write scan — no separate stats job
+        strategy = lww_strategy
+        if strategy == "auto":
+            last = _LAST_DISTINCT_KEYS.get(table.root)
+            strategy = "bcast_join" if last is None or last <= budget else "max_by"
         parts_hint = sorted(set(known_partitions))
         obs_ev = Observation()
         events_obs = events.observe(
             obs_ev,
             F.max("schema_version").alias("sv"),
             F.count(F.lit(1)).alias("n_total"),
+            # feeds next trigger's 'auto' decision (observed, zero-job)
+            F.approx_count_distinct("doc_id").alias("dk"),
             *[
                 a
                 for p in parts_hint
@@ -314,17 +352,18 @@ def apply_batch(
                 )
             ],
         )
-        if lww_strategy == "bcast_join":
+        if strategy == "bcast_join":
             # metrics ride the NARROW keys scan (executed exactly once as
             # the broadcast build side); the payload side stays metrics-free
-            winners = lww_winners(events, lww_strategy, n_salts,
+            winners = lww_winners(events, strategy, n_salts,
                                   keys_source=events_obs)
         else:
-            winners = lww_winners(events_obs, lww_strategy, n_salts)
+            winners = lww_winners(events_obs, strategy, n_salts)
         return _apply_mor(
             spark, table, winners, bid, snap, new_schema, None, None,
             None, t0, compact_threshold,
             changes=changes, obs_ev=obs_ev, parts_hint=parts_hint, events=events,
+            strategy_used=strategy,
         )
 
     # ---- C6: ONE column-pruned job for lineage stats + the batch's max
@@ -338,6 +377,9 @@ def apply_batch(
             F.max("offset").alias("max_offset"),
             F.count(F.lit(1)).alias("events_in"),
             F.max("schema_version").alias("sv"),
+            # rides the same column-pruned scan: per-partition distinct
+            # keys, summed below into an upper bound for the 'auto' guard
+            F.approx_count_distinct("doc_id").alias("dk"),
         )
         .collect()
     )
@@ -348,8 +390,16 @@ def apply_batch(
     register = new_schema if (changes or sv > snap["schema_version"]) else None
     user_cols = [f.name for f in new_schema.fields]
 
+    strategy = lww_strategy
+    if strategy == "auto":
+        # per-partition sum over-counts keys seen on several partitions —
+        # a safe (conservative-toward-max_by) bound for a broadcast guard
+        dk_bound = int(sum(r["dk"] for r in prog))
+        _LAST_DISTINCT_KEYS[table.root] = dk_bound
+        strategy = "bcast_join" if dk_bound <= budget else "max_by"
+
     # ---- C1+C2+C3: one winner per key ----
-    winners = lww_winners(events, lww_strategy, n_salts)
+    winners = lww_winners(events, strategy, n_salts)
 
     if mode == "mor":
         # no persist: MOR consumes winners exactly once (the delta-write
@@ -357,7 +407,7 @@ def apply_batch(
         # a full token-payload copy would only add memory traffic
         return _apply_mor(
             spark, table, winners, bid, snap, new_schema, sv,
-            register, prog, t0, compact_threshold,
+            register, prog, t0, compact_threshold, strategy_used=strategy,
         )
 
     # persisted: reused by the merge-planner collect, the C4 join and the
@@ -507,7 +557,8 @@ def apply_batch(
         change_files=change_files,
         expected_parent_id=snap["snapshot_id"],
     )
-    return ApplyResult(bid, sid, rows_applied, events_in, wall_ms=wall_ms, per_partition=per_partition)
+    return ApplyResult(bid, sid, rows_applied, events_in, wall_ms=wall_ms,
+                       per_partition=per_partition, lww_strategy_used=strategy)
 
 
 def _apply_mor(
@@ -526,6 +577,7 @@ def _apply_mor(
     obs_ev: Observation | None = None,
     parts_hint: list[int] | None = None,
     events: DataFrame | None = None,
+    strategy_used: str = "",
 ) -> ApplyResult:
     """Merge-on-read apply: stamp the winners with bookkeeping columns and
     commit them as delta files — no table read, no rewrite, O(batch) per
@@ -599,6 +651,8 @@ def _apply_mor(
         # fused-stats path: lineage stats and the batch's max
         # schema_version were observed during the write scan above
         got_ev = obs_ev.get
+        # feedback for the NEXT trigger's 'auto' broadcast guard
+        _LAST_DISTINCT_KEYS[table.root] = int(got_ev["dk"] or 0)
         sv = max(int(got_ev["sv"] or 0), snap["schema_version"])
         register = new_schema if (changes or sv > snap["schema_version"]) else None
         for e in new_files:
@@ -688,5 +742,6 @@ def _apply_mor(
     ) >= compact_threshold:
         table.compact(spark)
     return ApplyResult(
-        bid, sid, rows_applied, events_in, wall_ms=wall_ms, per_partition=per_partition
+        bid, sid, rows_applied, events_in, wall_ms=wall_ms,
+        per_partition=per_partition, lww_strategy_used=strategy_used,
     )

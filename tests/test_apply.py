@@ -217,3 +217,48 @@ def test_fused_stats_path_equivalent(spark, tmp_path):
             (p["src_partition"], p["min_offset"], p["max_offset"], p["events_in"])
             for p in pp2
         ]
+
+
+def test_auto_lww_strategy_guards_broadcast(spark, tmp_path):
+    """'auto' must fall back to max_by when a batch's distinct-key count
+    exceeds the broadcast budget (VERDICT r3 #3: the one config foot-gun on
+    the hot path), stay on bcast_join under it, and be property-equal
+    either way.  Fused path: the guard is feedback-controlled — trigger
+    N+1 plans from trigger N's observed key count."""
+    import glob
+
+    cfg = GenConfig(n_docs_initial=50, n_events=400, n_segments=2, seed=43)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+
+    # unfused path (no hint): measured on the stats job, same-batch switch
+    t1 = SequenceTable.create(spark, str(tmp_path / "t1"), init, n_buckets=4)
+    used = [
+        apply_batch(spark, t1, spark.read.parquet(s), batch_id=i,
+                    bcast_key_budget=5).lww_strategy_used
+        for i, s in enumerate(segs)
+    ]
+    assert used == ["max_by", "max_by"], used  # every batch has >5 keys
+    assert_state_equal(t1.read(spark), fx["expected"])
+
+    t2 = SequenceTable.create(spark, str(tmp_path / "t2"), init, n_buckets=4)
+    used = [
+        apply_batch(spark, t2, spark.read.parquet(s), batch_id=i,
+                    bcast_key_budget=10**6).lww_strategy_used
+        for i, s in enumerate(segs)
+    ]
+    assert used == ["bcast_join", "bcast_join"], used
+    assert_state_equal(t2.read(spark), fx["expected"])
+
+    # fused path (hint): first trigger optimistic, second sees feedback
+    t3 = SequenceTable.create(spark, str(tmp_path / "t3"), init, n_buckets=4)
+    hint = list(range(cfg.n_partitions))
+    used = [
+        apply_batch(spark, t3, spark.read.parquet(s), batch_id=i,
+                    known_partitions=hint,
+                    bcast_key_budget=5).lww_strategy_used
+        for i, s in enumerate(segs)
+    ]
+    assert used == ["bcast_join", "max_by"], used
+    assert_state_equal(t3.read(spark), fx["expected"])
