@@ -22,8 +22,29 @@ class LockLostError(RuntimeError):
     re-plan and retry."""
 
 
+def _rename_file(src: str, dst: str) -> None:
+    """The ONE pointer-swap rename primitive.  POSIX ``os.replace``
+    overwrites atomically; tests inject non-POSIX backend contracts by
+    patching this name (HDFS-style rename refuses to overwrite and raises
+    ``FileExistsError`` — ``write_atomic`` handles that with a
+    delete+rename fallback; an object store maps ``write_atomic`` to one
+    atomic whole-object PUT, making this a plain move)."""
+    os.replace(src, dst)
+
+
 def write_atomic(path: str, data: str) -> None:
-    """Write ``data`` to ``path`` atomically (tmp file + fsync + rename)."""
+    """Write ``data`` to ``path`` atomically (tmp file + fsync + rename).
+
+    Backend contracts (exercised by tests/test_fs_semantics.py):
+    * POSIX: overwrite-rename, fully atomic — readers see old or new.
+    * HDFS-style rename-no-overwrite: the fallback below deletes the old
+      file first, opening a short NO-POINTER window — readers of the
+      ``_LATEST`` pointer recover via ``SequenceTable.latest_snapshot_id``'s
+      batches-log fallback (the log trails the pointer swap by
+      construction, so its newest entry is the last full commit).
+    * S3-style object store: one whole-object PUT is atomic, so this maps
+      to a single conditional-free PUT; no rename and no fallback needed.
+    """
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-", suffix=".inprogress")
@@ -32,7 +53,15 @@ def write_atomic(path: str, data: str) -> None:
             f.write(data)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)  # atomic on POSIX; HDFS rename on a cluster
+        try:
+            _rename_file(tmp, path)
+        except FileExistsError:
+            # HDFS contract: rename never overwrites
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+            _rename_file(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)

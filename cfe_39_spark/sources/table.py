@@ -40,6 +40,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
@@ -221,6 +222,7 @@ class SequenceTable:
             "snapshot_id": 1,
             "parent_id": None,
             "batch_id": "__create__",
+            "committed_at": time.time(),
             "n_buckets": n_buckets,
             "schema_version": schema_version,
             "schemas": {str(schema_version): _schema_to_json(user_schema)},
@@ -237,7 +239,20 @@ class SequenceTable:
         return os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
 
     def latest_snapshot_id(self) -> int:
-        return int(fs.read_text(os.path.join(self.meta_dir, "_LATEST")))
+        try:
+            return int(fs.read_text(os.path.join(self.meta_dir, "_LATEST")))
+        except FileNotFoundError:
+            # rename-no-overwrite backends (HDFS contract) swap the pointer
+            # by delete+rename, leaving a short no-pointer window; a writer
+            # crash inside it must not brick readers.  The append-only
+            # batches log trails every pointer swap (swap, THEN log line;
+            # the pre-commit find_batch probe self-heals any unlogged
+            # suffix first), so its newest entry is the last snapshot whose
+            # commit fully completed — exactly the recovery answer.
+            logged = self._batches_log()
+            if logged:
+                return max(logged.values())
+            raise
 
     def snapshot(self, sid: int | None = None) -> dict[str, Any]:
         sid = sid if sid is not None else self.latest_snapshot_id()
@@ -446,6 +461,7 @@ class SequenceTable:
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
             "batch_id": str(batch_id),
+            "committed_at": time.time(),
             "n_buckets": n_buckets if n_buckets is not None else parent["n_buckets"],
             "schema_version": sv,
             "schemas": schemas,
@@ -520,6 +536,7 @@ class SequenceTable:
                 "snapshot_id": new_sid,
                 "parent_id": latest,
                 "batch_id": f"__rollback_to_{to_snapshot_id}__",
+                "committed_at": time.time(),
                 "n_buckets": target["n_buckets"],
                 "schema_version": target["schema_version"],
                 # keep the full registry: files of intermediate snapshots
@@ -548,9 +565,28 @@ class SequenceTable:
                     for ln in fs.read_text(logp).splitlines()
                     if ln.strip() and int(ln.rsplit(" ", 1)[1]) not in dropped
                 ]
-                fs.write_atomic(logp, "\n".join(kept) + ("\n" if kept else ""))
+            else:
+                # backends without appends (object stores) may have no log
+                # file at all — find_batch degrades to the chain walk there.
+                # But rollback's "forget" CANNOT: the walk from the new tip
+                # still reaches rolled-back snapshots (the tip's parent is
+                # the old tip), so an empty log would make a corrected
+                # batch no-op.  Reconstruct the kept log from the chain
+                # (one atomic write — available on every backend).
+                kept = [
+                    f"{s['batch_id']} {s['snapshot_id']}"
+                    for s in reversed(self.committed_chain())
+                    if s["snapshot_id"] not in dropped
+                ]
+            # the rollback marker goes into the SAME atomic log write (not
+            # a separate append): it is what stops find_batch's chain walk
+            # at the rollback boundary — without it, the walk from the new
+            # tip descends through the (append-only) parent link into the
+            # rolled-back snapshots and resurrects their batch ids.  On
+            # append-less backends a separate append would be a no-op.
+            kept.append(f"__rollback_to_{to_snapshot_id}__ {new_sid}")
+            fs.write_atomic(logp, "\n".join(kept) + "\n")
             fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(new_sid))
-            fs.append_line(logp, f"__rollback_to_{to_snapshot_id}__ {new_sid}")
             return new_sid
 
     # ------------------------------------------------------------------ #
@@ -955,11 +991,38 @@ class SequenceTable:
     # ------------------------------------------------------------------ #
     # maintenance (S8)
     # ------------------------------------------------------------------ #
-    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
-        """Drop all but the newest ``keep_last`` committed snapshots and
-        delete data directories unreachable from the retained set."""
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than_s: float | None = None
+    ) -> dict[str, int]:
+        """Drop expired committed snapshots and delete data directories
+        unreachable from the retained set.
+
+        Two retention contracts, matching Iceberg's ``expireSnapshots``:
+
+        * count-based (default): keep the newest ``keep_last`` snapshots;
+        * time-based (``older_than_s``): keep every snapshot committed
+          within the last ``older_than_s`` seconds — the wall-clock
+          contract production CDC retention is usually written in
+          ("downstream consumers may lag up to N hours") — while always
+          retaining at least ``max(keep_last, 1)`` newest as a floor.
+
+        Both use the per-snapshot ``committed_at`` stamp; commit times are
+        monotone along the chain, so the retained set is always a prefix
+        of the committed chain (newest-first) and the oldest survivor is
+        reparented to None.  A ``read_changes`` consumer whose cursor
+        falls behind retention gets the explicit re-bootstrap error, never
+        a silent gap."""
         chain = self.committed_chain()
-        keep, drop = chain[:keep_last], chain[keep_last:]
+        if older_than_s is None:
+            keep = chain[:keep_last]
+        else:
+            cutoff = time.time() - older_than_s
+            floor = max(keep_last, 1)
+            keep = [
+                s
+                for i, s in enumerate(chain)
+                if i < floor or s.get("committed_at", 0.0) >= cutoff
+            ]
         live_dirs = {
             os.path.dirname(os.path.join(self.root, e["path"]))
             for s in keep

@@ -48,10 +48,17 @@ def run_stream(
     lww_strategy: str = "bcast_join",
     stop_after_batches: int | None = None,
     known_partitions: list[int] | None = None,
+    processing_time: str | None = None,
+    max_batches: int | None = None,
 ):
     """Tail the log into the table.  ``available_now=True`` = bounded
     replay (process everything, then stop — T7); otherwise a continuous
-    micro-batch stream.  ``stop_after_batches`` simulates a crash for the
+    micro-batch stream, paced by ``processing_time`` (e.g. ``"1 second"``
+    — the production cadence knob; None = re-trigger as fast as data
+    arrives).  ``max_batches`` bounds a CONTINUOUS run: the query is
+    cleanly stopped (checkpoint intact, no simulated failure) once that
+    many non-empty batches have applied — the soak-test harness for
+    long-running mode.  ``stop_after_batches`` simulates a crash for the
     kill-and-resume tests.  ``known_partitions``: source partition ids
     when known (a Kafka source's topic partition count) — enables the
     one-job-per-trigger fused-stats hot path in ``apply_batch``."""
@@ -78,13 +85,24 @@ def run_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     # S5 control-plane metrics: per-trigger progress records beside the
     # table, written from the listener's event thread (off the hot path)
     listener = EngineMetricsListener(table.root)
     spark.streams.addListener(listener)
     q = writer.start()
     try:
-        q.awaitTermination()
+        if available_now or max_batches is None:
+            q.awaitTermination()
+        else:
+            # bounded continuous run: poll until enough batches applied,
+            # then stop cleanly (graceful — unlike the simulated crash)
+            while q.isActive and seen["n"] < max_batches:
+                q.awaitTermination(0.2)
+            if q.isActive:
+                q.stop()
+            q.awaitTermination()
     except Exception:
         if stop_after_batches is None:
             raise
