@@ -16,6 +16,11 @@ is exactly what makes it oracle-checkable against a plain GROUP BY.
 Spark 4.x also ships ``transformWithStateInPandas`` (timers, TTL,
 composite state); it requires the RocksDB state-store provider, so the
 portable GroupState form is the default surface here.
+``running_key_stats_tws`` below is the SAME operator on that successor
+API (StatefulProcessor + ValueState, RocksDB-backed) — the migration
+target once a deployment wants state larger than executor heap, TTL'd
+state, or timers; tests assert the two forms emit identical final
+snapshots.
 """
 
 from __future__ import annotations
@@ -104,4 +109,78 @@ def running_key_stats(src: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def running_key_stats_tws(src: DataFrame) -> DataFrame:
+    """T6 on the Spark 4 successor API: ``transformWithStateInPandas`` with
+    a ``StatefulProcessor`` holding one ValueState per key — semantically
+    identical to ``running_key_stats`` (same fold, same emissions), tested
+    equal.  Why it exists: the GroupState form keeps all state in executor
+    memory with HDFS-backed snapshots; this form runs on the RocksDB state
+    store (state >> heap, incremental checkpointing) and adds the
+    composite-state/TTL/timer surface a long-running production tracker
+    eventually needs.
+
+    Caller must enable the provider BEFORE starting the query::
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_PROVIDER)
+
+    (transformWithStateInPandas refuses the default HDFS provider; the
+    rocksdbjni jar ships with stock Spark.)
+
+    Sandbox note: the TWS worker protocol needs the ``google.protobuf``
+    python package at RUNTIME (its state-server wire format); this
+    environment ships pyspark without it, so the equivalence test skips
+    here and runs on any normal installation — same documented gap class
+    as the absent spark-sql-kafka jar (SURVEY.md §0.4)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TrackProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("track", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            import pandas as pd
+
+            got = self._state.get() if self._state.exists() else None
+            max_off, n, mn_us, mx_us = got if got is not None else (None, 0, None, None)
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                n += len(pdf)
+                off = int(pdf["event_id"].max())
+                max_off = off if max_off is None else max(max_off, off)
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                lo, hi = int(ts_us.min()), int(ts_us.max())
+                mn_us = lo if mn_us is None else min(mn_us, lo)
+                mx_us = hi if mx_us is None else max(mx_us, hi)
+            self._state.update((max_off, n, mn_us, mx_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "max_offset": [max_off],
+                    "n_events": [n],
+                    "first_ts": [pd.Timestamp(mn_us, unit="us")],
+                    "last_ts": [pd.Timestamp(mx_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TrackProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -115,3 +115,69 @@ def test_stateful_tracker_state_crosses_batches(spark, tmp_path):
     )
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_tws_tracker_matches_groupstate_form(spark, tmp_path):
+    """T6 successor API: the transformWithStateInPandas form of the
+    per-key tracker (RocksDB state store) emits final snapshots identical
+    to the applyInPandasWithState form and to a plain batch GROUP BY —
+    same fold, two state backends.
+
+    Skipped where the transformWithState worker protocol's python-side
+    dependency (google.protobuf) is missing — this sandbox ships pyspark
+    without it (no pip allowed), same class of gap as the absent Kafka
+    jar (SURVEY.md §0.4); the operator code itself is import-clean."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from pyspark.sql import Window
+
+    from cfe_39_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_key_stats_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        log_dir = str(tmp_path / "log")
+        e.repartitionByRange(4, "event_id").write.parquet(log_dir)
+        src = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log_dir)
+        )
+        q = (
+            running_key_stats_tws(src)
+            .writeStream.format("memory").queryName("t6_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt-tws"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        emitted = spark.table("t6_tws")
+        n_keys = e.select("user_id").distinct().count()
+        assert emitted.count() > n_keys, "state never crossed a batch"
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            emitted.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("user_id", "max_offset", "n_events", "first_ts", "last_ts")
+        )
+        batch = e.groupBy("user_id").agg(
+            F.max("event_id").alias("max_offset"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        assert final.exceptAll(batch).count() == 0
+        assert batch.exceptAll(final).count() == 0
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
