@@ -230,6 +230,7 @@ class SequenceTable:
         }
         fs.write_json_atomic(t._snap_path(1), snap)
         fs.write_atomic(os.path.join(t.meta_dir, "_LATEST"), "1")
+        t._write_marker("__create__", 1)
         return t
 
     # ------------------------------------------------------------------ #
@@ -272,6 +273,27 @@ class SequenceTable:
     def _batches_log_path(self) -> str:
         return os.path.join(self.meta_dir, "batches.log")
 
+    # -- per-batch marker objects: the O(1) idempotency probe ---------- #
+    def _marker_path(self, bid: str) -> str:
+        # sha1 of the batch id: ids are caller-chosen strings (may hold
+        # path separators); the id itself is stored inside for verification
+        import hashlib
+
+        h = hashlib.sha1(bid.encode()).hexdigest()
+        return os.path.join(self.meta_dir, "batches", f"{h}.json")
+
+    def _read_marker(self, bid: str) -> int | None:
+        p = self._marker_path(bid)
+        if not fs.exists(p):
+            return None
+        m = fs.read_json(p)
+        return int(m["snapshot_id"]) if m.get("batch_id") == bid else None
+
+    def _write_marker(self, bid: str, sid: int) -> None:
+        fs.write_json_atomic(
+            self._marker_path(bid), {"batch_id": bid, "snapshot_id": sid}
+        )
+
     def _batches_log(self) -> dict[str, int]:
         """batch_id -> snapshot_id from the append-only commit log."""
         path = self._batches_log_path()
@@ -286,32 +308,44 @@ class SequenceTable:
     def find_batch(self, batch_id: str) -> int | None:
         """Snapshot id that committed ``batch_id``, or None (idempotency probe).
 
-        O(1) via the append-only batches.log; at 10^10-scale streams the
-        alternative (walking the snapshot chain every trigger) is O(n²)
-        driver time.  The log line is appended AFTER the pointer swap, so
-        a crash can leave the newest commits unlogged — the chain walk
-        below covers exactly that suffix AND self-heals: every committed-
-        but-unlogged snapshot it visits is appended to the log before
-        returning.  Because ``commit`` probes ``find_batch`` first, the
-        repair runs before any newer line is appended, so an unlogged
-        snapshot can never be buried below a logged one (the exactly-once
-        hole a crash between pointer swap and log append would otherwise
-        open)."""
+        TRUE O(1) via one per-batch marker object (one atomic PUT per
+        commit, one point read per probe) — unlike a log-file lookup this
+        neither grows with stream lifetime (a 10^10-event stream commits
+        millions of triggers; reparsing an ever-growing log on every probe
+        is O(commits) driver time per trigger) nor needs appends (object
+        stores have none; the append-only batches.log is retained as the
+        audit trail and the pointer-recovery source, but is never reparsed
+        on the probe hot path).
+
+        Markers are written AFTER the pointer swap, so a crash can leave
+        the newest commits unmarked — but ONLY a tip suffix: the walk
+        below descends from the tip exactly until the first snapshot whose
+        marker is in place (amortized 0-1 steps) and self-heals marker +
+        log line for everything it visits, oldest first.  Because
+        ``commit`` probes ``find_batch`` first, the repair runs before any
+        newer marker lands, so an unmarked snapshot can never be buried
+        below a marked one (the exactly-once hole a crash between pointer
+        swap and marker write would otherwise open).  Rollback deletes the
+        dropped batches' markers and marks its own snapshot BEFORE the
+        swap, so the walk always stops at the rollback boundary and never
+        resurrects a rolled-back batch id."""
         bid = str(batch_id)
-        logged = self._batches_log()
-        if bid in logged:
-            return logged[bid]
-        logged_sids = set(logged.values())
+        hit = self._read_marker(bid)
+        if hit is not None:
+            return hit
         found: int | None = None
-        unlogged: list[tuple[str, int]] = []
+        unmarked: list[tuple[str, int]] = []
         sid: int | None = self.latest_snapshot_id()
-        while sid is not None and sid not in logged_sids:
+        while sid is not None:
             s = self.snapshot(sid)
-            unlogged.append((s["batch_id"], s["snapshot_id"]))
+            if self._read_marker(s["batch_id"]) == s["snapshot_id"]:
+                break  # fully recorded; everything below is too
+            unmarked.append((s["batch_id"], s["snapshot_id"]))
             if s["batch_id"] == bid:
                 found = s["snapshot_id"]
             sid = s["parent_id"]
-        for b, s2 in reversed(unlogged):  # oldest first: log order = commit order
+        for b, s2 in reversed(unmarked):  # oldest first: marker order = commit order
+            self._write_marker(b, s2)
             fs.append_line(self._batches_log_path(), f"{b} {s2}")
         return found
 
@@ -481,6 +515,7 @@ class SequenceTable:
                 raise CommitConflictError(str(e)) from None
         fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(sid))
         fs.append_line(self._batches_log_path(), f"{batch_id} {sid}")
+        self._write_marker(str(batch_id), sid)
         return sid
 
     def rollback(self, to_snapshot_id: int) -> int:
@@ -586,6 +621,16 @@ class SequenceTable:
             # append-less backends a separate append would be a no-op.
             kept.append(f"__rollback_to_{to_snapshot_id}__ {new_sid}")
             fs.write_atomic(logp, "\n".join(kept) + "\n")
+            # marker objects, same forget-before-swap discipline: delete
+            # the dropped batches' markers and mark the rollback snapshot
+            # itself BEFORE the pointer moves — once the new tip is
+            # visible, the probe walk must already stop at it (a marked
+            # boundary) instead of descending into the rolled-back span
+            for s in rolled:
+                p = self._marker_path(s["batch_id"])
+                if fs.exists(p):
+                    os.unlink(p)
+            self._write_marker(f"__rollback_to_{to_snapshot_id}__", new_sid)
             fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(new_sid))
             return new_sid
 

@@ -115,15 +115,18 @@ def test_concurrent_writers_linearize_under_hdfs_semantics(tmp_path, hdfs_fs):
 
 
 def test_commit_rollback_idempotency_without_appends(tmp_path, s3_fs):
-    """Object-store mode: no batches.log lines are ever appended, so
-    find_batch degrades to the chain walk — idempotency must hold, and
-    rollback must still FORGET rolled-back batch ids (log reconstructed
-    from the chain in one atomic write) so a corrected batch re-applies."""
+    """Object-store mode: no batches.log lines are ever appended — the
+    idempotency probe rides the per-batch MARKER objects (atomic PUT per
+    commit, point read per probe: O(1) without appends), and rollback
+    must still FORGET rolled-back batch ids (markers deleted + log
+    reconstructed from the chain in one atomic write) so a corrected
+    batch re-applies."""
     t = SequenceTable.create(None, str(tmp_path / "t"), n_buckets=2)
     for i in range(4):
         t.commit(f"b{i}", [], t.snapshot()["files"])
     assert not fs.exists(t._batches_log_path())  # appends were no-ops
-    # idempotency via chain walk
+    # idempotency via the marker point read (a crash can only leave an
+    # unMARKED TIP suffix — that window is covered in test_table.py)
     assert t.find_batch("b2") == 4
     assert t.commit("b2", [], t.snapshot()["files"]) == 4
     # roll back past b2 and b3

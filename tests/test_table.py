@@ -80,11 +80,13 @@ def test_expire_after_compact(spark, tmp_path):
     assert_state_equal(table.read(spark), fx["expected"])
 
 
-def test_find_batch_log_and_crash_window(spark, tmp_path):
-    """find_batch is O(1) via batches.log; an unlogged suffix (crash after
-    pointer swap, before log append) is covered by the bounded chain walk;
-    a missing log (legacy table) falls back to the full walk."""
+def test_find_batch_marker_and_crash_window(spark, tmp_path):
+    """find_batch is O(1) via per-batch marker objects; an unmarked tip
+    suffix (crash after pointer swap, before the marker/log writes) is
+    covered by the bounded suffix walk, which self-heals; a table with no
+    markers and no log at all (legacy) falls back to the full walk."""
     import os
+    import shutil
 
     cfg = GenConfig(n_docs_initial=10, n_events=60, n_segments=3, seed=67)
     table, fx, segs = _fixture(spark, tmp_path, cfg)
@@ -92,17 +94,22 @@ def test_find_batch_log_and_crash_window(spark, tmp_path):
         apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
     log_path = table._batches_log_path()
     assert os.path.exists(log_path)
-    # fresh handle (restart): resolves via the log
+    # fresh handle (restart): resolves via the marker, no log parse
     t2 = SequenceTable(table.root)
     assert t2.find_batch("1") is not None
-    # crash window: drop the newest log line -> chain-walk fallback finds it
+    # crash window: newest commit's marker + log line never landed
     lines = open(log_path).read().splitlines()
     open(log_path, "w").write("\n".join(lines[:-1]) + "\n")
+    os.unlink(table._marker_path("2"))
     assert SequenceTable(table.root).find_batch("2") is not None
-    # legacy table: no log at all -> full walk
+    # ... and the walk healed the marker: next probe is a point read
+    assert SequenceTable(table.root)._read_marker("2") is not None
+    # legacy table: no markers, no log -> full walk, then fully healed
+    shutil.rmtree(os.path.dirname(table._marker_path("0")))
     os.unlink(log_path)
     assert SequenceTable(table.root).find_batch("0") is not None
     assert SequenceTable(table.root).find_batch("nope") is None
+    assert SequenceTable(table.root)._read_marker("1") is not None
 
 
 def test_time_travel_across_modes(spark, tmp_path):
@@ -128,11 +135,12 @@ def test_buried_unlogged_commit_stays_idempotent(spark, tmp_path):
     table, fx, segs = _fixture(spark, tmp_path, cfg)
     apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
     apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1)
-    # simulate the crash window: batch 1's log line never landed
+    # simulate the crash window: batch 1's log line + marker never landed
     log_path = table._batches_log_path()
     lines = open(log_path).read().splitlines()
     assert lines[-1].startswith("1 ")
     open(log_path, "w").write("\n".join(lines[:-1]) + "\n")
+    os.unlink(table._marker_path("1"))
     # next commit (fresh handle = restarted driver) must self-heal the log
     t2 = SequenceTable(table.root)
     apply_batch(spark, t2, spark.read.parquet(segs[2]), batch_id=2)
