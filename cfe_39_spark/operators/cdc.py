@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions 
 from ..functions.tokens import n_tok_expr, validate_tokens_arrow
 from ..schema import ALLOWED_WIDENINGS, BOOKKEEPING_COLS, CDC_META_COLS
 from ..sources.table import (
+    PARENT_FILES,
     CommitConflictError,
     SequenceTable,
     bucket_expr,
@@ -717,7 +718,10 @@ def _apply_mor(
             sid = table.commit(
                 bid,
                 new_files,
-                cur["files"],
+                # by-reference carry: the commit reuses the parent's
+                # manifest segments verbatim — per-trigger metadata stays
+                # O(batch) no matter how many files the table has
+                PARENT_FILES,
                 schema_version=max(sv, cur["schema_version"]),
                 new_schema=register,
                 lineage=lineage,

@@ -7,14 +7,26 @@ built from scratch anyway (BASELINE.json:14).  The format:
     <root>/
       metadata/
         snap-<id>.json      one immutable snapshot descriptor per commit
+        manifests/m-*.json  immutable manifest segments (file-entry lists)
         _LATEST             current snapshot id (atomic pointer swap)
       data/
         commit-<batch>-<nonce>/_bucket=<b>/part-*.parquet
 
-A snapshot descriptor is self-contained: the full data-file manifest
-(per-file bucket, row count, min/max doc_id, schema version), the schema
-registry (every schema version ever committed), and the batch_id that
-produced it.  Commit = write descriptor, then atomically swap ``_LATEST``.
+A snapshot descriptor holds the schema registry (every schema version ever
+committed), the batch_id that produced it, lineage, and a **manifest list**:
+references to immutable manifest segments, each holding a slice of the
+data-file manifest (per-file bucket, row count, min/max doc_id, schema
+version).  Commit = write descriptor, then atomically swap ``_LATEST``.
+
+Manifest segmentation is the Iceberg manifest-list design and it is what
+keeps commit metadata O(batch) instead of O(table): a streaming MOR apply
+reuses the parent's segment references verbatim and writes ONE new segment
+holding only its own delta files, so at 10^10 rows / millions of live files
+a trigger's metadata write is a few KB, not a rewrite of a multi-MB inline
+file list.  Segments are coalesced (smallest-first) once the list exceeds
+``CFE39_MANIFEST_TARGET`` so the per-snapshot segment count — and therefore
+descriptor size and read-side planning fan-out — stays bounded regardless
+of stream lifetime.
 
 Exactly-once (SURVEY.md §4.3 layer 1): ``commit`` is **idempotent on
 batch_id** — recommitting a batch_id already in the committed chain is a
@@ -56,6 +68,42 @@ from ..schema import (
 from . import fs
 
 EPOCH0 = "1970-01-01 00:00:00"
+
+# Sentinel for SequenceTable.commit(carried_files=...): "carry exactly the
+# parent snapshot's files".  The O(batch)-metadata hot path — the commit
+# reuses the parent's manifest segments by reference and never loads,
+# diffs, or rewrites the live file list.  Callers that carry a *computed*
+# list (COW merge, compaction) pass it materialized and pay a segment diff.
+PARENT_FILES = object()
+
+# Per-snapshot manifest-segment budget: commits coalesce the smallest
+# segments into one once the list grows past this, so segment count is
+# bounded by the budget, not by stream lifetime (amortized O(1) extra
+# writes per commit — each coalesce buys budget/2 commits of headroom).
+_MANIFEST_TARGET = int(os.environ.get("CFE39_MANIFEST_TARGET", "32"))
+
+# Manifest segments are immutable once written (same discipline as data
+# files), so a process-wide content cache keyed by absolute path is safe;
+# it bounds repeated snapshot()["files"] materializations to one read per
+# segment per process.
+_MANIFEST_CACHE: dict[str, list[dict]] = {}
+
+
+class _Snapshot(dict):
+    """A snapshot descriptor.  ``snap["files"]`` lazily concatenates the
+    manifest segments, so metadata-only readers (idempotency probes, chain
+    walks, lineage scans) never materialize the O(live files) list.  The
+    lazy value is NOT stored back into the dict: serializing or copying a
+    descriptor must see only its real on-disk keys."""
+
+    def __init__(self, data: dict, table: "SequenceTable"):
+        super().__init__(data)
+        self._table = table
+
+    def __missing__(self, key: str):
+        if key == "files" and "manifests" in self:
+            return self._table._manifest_files(self)
+        raise KeyError(key)
 
 
 class CommitConflictError(RuntimeError):
@@ -226,7 +274,7 @@ class SequenceTable:
             "n_buckets": n_buckets,
             "schema_version": schema_version,
             "schemas": {str(schema_version): _schema_to_json(user_schema)},
-            "files": files,
+            "manifests": [t._write_manifest(1, files)] if files else [],
         }
         fs.write_json_atomic(t._snap_path(1), snap)
         fs.write_atomic(os.path.join(t.meta_dir, "_LATEST"), "1")
@@ -257,7 +305,119 @@ class SequenceTable:
 
     def snapshot(self, sid: int | None = None) -> dict[str, Any]:
         sid = sid if sid is not None else self.latest_snapshot_id()
-        return fs.read_json(self._snap_path(sid))
+        return _Snapshot(fs.read_json(self._snap_path(sid)), self)
+
+    # -- manifest segments (Iceberg manifest-list role) ----------------- #
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.meta_dir, "manifests")
+
+    def _write_manifest(self, sid: int, entries: list[dict]) -> dict:
+        """Write one immutable manifest segment; return its reference.
+        The reference carries the aggregates metadata-only consumers need
+        (per-bucket delta counts for the compaction gauge, file/row totals
+        for coalescing and stats) so they never load the segment body."""
+        name = f"m-{sid:012d}-{uuid.uuid4().hex[:8]}.json"
+        rel = os.path.join("manifests", name)
+        path = os.path.join(self.meta_dir, rel)
+        fs.write_json_atomic(path, {"entries": entries})
+        _MANIFEST_CACHE[path] = list(entries)
+        dc: dict[str, int] = {}
+        for e in entries:
+            if e.get("kind", "base") == "delta":
+                b = str(e["bucket"])
+                dc[b] = dc.get(b, 0) + 1
+        return {
+            "path": rel,
+            "n_files": len(entries),
+            "n_rows": sum(int(e.get("rows", 0)) for e in entries),
+            "delta_counts": dc,
+        }
+
+    def _load_manifest(self, ref: dict) -> list[dict]:
+        path = os.path.join(self.meta_dir, ref["path"])
+        hit = _MANIFEST_CACHE.get(path)
+        if hit is None:
+            hit = fs.read_json(path)["entries"]
+            _MANIFEST_CACHE[path] = hit
+        return hit
+
+    def _manifest_files(self, snap: dict) -> list[dict]:
+        out: list[dict] = []
+        for ref in snap.get("manifests", []):
+            out.extend(self._load_manifest(ref))
+        return out
+
+    def _plan_manifests(
+        self, sid: int, parent: dict, new_files: list[dict], carried_files
+    ) -> list[dict]:
+        """Compute the child snapshot's manifest list.
+
+        ``carried_files is PARENT_FILES`` (the streaming hot path): reuse
+        the parent's segment references and write one segment for
+        ``new_files`` — O(batch) metadata, no segment ever loaded.
+
+        Materialized ``carried_files`` (COW merge / compaction / legacy
+        callers): per parent segment, reuse it iff every entry survives
+        unchanged in the carried list; otherwise pool its survivors into
+        the new segment alongside ``new_files``.  Carried entries the
+        parent never knew (caller-rewritten manifests) are appended too.
+        This path loads parent segments — the accepted cost of the rare
+        maintenance commits; triggers never take it."""
+        if carried_files is PARENT_FILES:
+            reused = list(parent.get("manifests", []))
+            # v1 inline-descriptor parent: fold its list into segments once
+            if "manifests" not in parent and parent.get("files"):
+                new_files = list(parent["files"]) + list(new_files)
+            new_entries = list(new_files)
+        elif not carried_files:
+            # full-rewrite commit (rebucket): nothing carried, no diff needed
+            reused, new_entries = [], list(new_files)
+        else:
+            by_path = {e["path"]: e for e in carried_files}
+            reused, pool, consumed = [], [], set()
+            parent_refs = parent.get("manifests")
+            if parent_refs is None:
+                # v1 parent: treat its inline list as one rewritable segment
+                segments = [parent.get("files", [])]
+                refs: list[dict | None] = [None]
+            else:
+                segments = [self._load_manifest(r) for r in parent_refs]
+                refs = list(parent_refs)
+            for ref, entries in zip(refs, segments):
+                if (
+                    ref is not None
+                    and entries
+                    and all(by_path.get(e["path"]) == e for e in entries)
+                ):
+                    reused.append(ref)
+                    consumed.update(e["path"] for e in entries)
+                else:
+                    for e in entries:
+                        c = by_path.get(e["path"])
+                        if c is not None and e["path"] not in consumed:
+                            pool.append(c)
+                            consumed.add(e["path"])
+            extra = [e for e in carried_files if e["path"] not in consumed]
+            new_entries = pool + extra + list(new_files)
+        refs_out = reused + (
+            [self._write_manifest(sid, new_entries)] if new_entries else []
+        )
+        return self._coalesce_manifests(sid, refs_out)
+
+    def _coalesce_manifests(self, sid: int, refs: list[dict]) -> list[dict]:
+        """Bound the segment count: when the list exceeds the budget, merge
+        the smallest segments into one, down to budget/2 — so a coalesce
+        happens every ~budget/2 commits and mostly touches small segments
+        (amortized O(1) segment writes per commit, LSM-style)."""
+        if len(refs) <= _MANIFEST_TARGET:
+            return refs
+        srt = sorted(refs, key=lambda r: r["n_files"])
+        n_merge = len(refs) - max(_MANIFEST_TARGET // 2, 1) + 1
+        merged_entries: list[dict] = []
+        for r in srt[:n_merge]:
+            merged_entries.extend(self._load_manifest(r))
+        keep = srt[n_merge:]
+        return keep + [self._write_manifest(sid, merged_entries)]
 
     def committed_chain(self) -> list[dict[str, Any]]:
         """Snapshots reachable from _LATEST via parent links (committed only —
@@ -422,7 +582,13 @@ class SequenceTable:
         change_files: list[dict] | None = None,
         expected_parent_id: int | None = None,
     ) -> int:
-        """``change_files``: manifest entries holding this commit's logical
+        """``carried_files``: the surviving parent files — pass the
+        ``PARENT_FILES`` sentinel to carry the parent's file set by
+        manifest-segment *reference* (the streaming hot path: O(batch)
+        metadata per commit, nothing loaded), or a materialized entry list
+        when the commit drops/rewrites files (COW merge, compaction).
+
+        ``change_files``: manifest entries holding this commit's logical
         change rows (the CDC feed, S10).  Kept OUTSIDE ``files`` so state
         reads never see them; a merge-on-read apply passes its delta
         entries (the deltas ARE the change data — zero extra write), a
@@ -499,7 +665,7 @@ class SequenceTable:
             "n_buckets": n_buckets if n_buckets is not None else parent["n_buckets"],
             "schema_version": sv,
             "schemas": schemas,
-            "files": carried_files + new_files,
+            "manifests": self._plan_manifests(sid, parent, new_files, carried_files),
             "change_files": change_files or [],
             "lineage": lineage or {},
         }
@@ -577,7 +743,12 @@ class SequenceTable:
                 # keep the full registry: files of intermediate snapshots
                 # still decode by their registered version
                 "schemas": dict(parent["schemas"]),
-                "files": list(target["files"]),
+                # segments are immutable: sharing the target's references is
+                # a metadata-only copy (expiry GC counts refs across ALL
+                # retained snapshots, so sharing is safe)
+                "manifests": list(target["manifests"])
+                if "manifests" in target
+                else [self._write_manifest(new_sid, list(target["files"]))],
                 "change_files": [],
                 "lineage": {"rollback_of": [s["snapshot_id"] for s in rolled]},
             }
@@ -951,9 +1122,17 @@ class SequenceTable:
     # maintenance: merge-on-read compaction
     # ------------------------------------------------------------------ #
     def delta_file_counts(self, snap: dict | None = None) -> dict[int, int]:
-        """Delta files per bucket — the read-amplification gauge."""
+        """Delta files per bucket — the read-amplification gauge.  Runs
+        every trigger (the compaction trip-wire), so it reads the
+        per-segment aggregates off the manifest references and never loads
+        a segment body: O(segments) driver work, not O(live files)."""
         snap = snap or self.snapshot()
         out: dict[int, int] = {}
+        if "manifests" in snap:
+            for ref in snap["manifests"]:
+                for b, n in ref.get("delta_counts", {}).items():
+                    out[int(b)] = out.get(int(b), 0) + int(n)
+            return out
         for e in snap["files"]:
             if e.get("kind", "base") == "delta":
                 out[e["bucket"]] = out.get(e["bucket"], 0) + 1
@@ -1087,6 +1266,18 @@ class SequenceTable:
             if f.startswith("snap-") and int(f[5:-5]) not in committed_ids:
                 os.unlink(os.path.join(self.meta_dir, f))
                 removed_snaps += 1
+        # manifest segments unreferenced by any retained snapshot (expired
+        # commits' segments and crash orphans) — same reachability rule as
+        # the data dirs
+        live_manifests = {
+            ref["path"] for s in keep for ref in s.get("manifests", [])
+        }
+        mdir = self._manifest_dir()
+        for f in fs.listdir(mdir):
+            rel = os.path.join("manifests", f)
+            if rel not in live_manifests:
+                os.unlink(os.path.join(mdir, f))
+                _MANIFEST_CACHE.pop(os.path.join(self.meta_dir, rel), None)
         # keep_last snapshots now form the full chain; reparent the oldest
         if keep:
             oldest = keep[-1]

@@ -157,8 +157,14 @@ def test_processing_time_trigger_soak(spark, tmp_path):
     def feeder():
         for s in segs[1:]:
             time.sleep(1.2)
-            shutil.copy(s, live / (os.path.basename(s) + ".tmp"))
-            os.rename(live / (os.path.basename(s) + ".tmp"),
+            # dot-prefixed staging name: Spark's file source ignores hidden
+            # files, so the segment appears ATOMICALLY at rename.  A visible
+            # ".tmp" suffix races the trigger loop — under host load the
+            # copy->rename window spans a trigger, and the source would
+            # ingest the same segment under both paths (observed flake:
+            # overlapping per-partition offset ranges in lineage).
+            shutil.copy(s, live / ("." + os.path.basename(s) + ".tmp"))
+            os.rename(live / ("." + os.path.basename(s) + ".tmp"),
                       live / os.path.basename(s))
 
     th = threading.Thread(target=feeder, daemon=True)
