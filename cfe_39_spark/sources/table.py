@@ -1216,7 +1216,10 @@ class SequenceTable:
     # maintenance (S8)
     # ------------------------------------------------------------------ #
     def expire_snapshots(
-        self, keep_last: int = 2, older_than_s: float | None = None
+        self,
+        keep_last: int = 2,
+        older_than_s: float | None = None,
+        orphan_grace_s: float = 600.0,
     ) -> dict[str, int]:
         """Drop expired committed snapshots and delete data directories
         unreachable from the retained set.
@@ -1235,7 +1238,28 @@ class SequenceTable:
         of the committed chain (newest-first) and the oldest survivor is
         reparented to None.  A ``read_changes`` consumer whose cursor
         falls behind retention gets the explicit re-bootstrap error, never
-        a silent gap."""
+        a silent gap.
+
+        Safe concurrent with writers (Iceberg's expire/orphan split):
+
+        * The whole pass runs under the commit mutex, so metadata written
+          under that lock (descriptors, manifest segments, markers) cannot
+          be mid-commit while we list-and-delete — an in-flight commit
+          either landed (its artifacts are retained-reachable) or hasn't
+          started its critical section yet.
+        * Data directories are written BEFORE the writer takes the lock,
+          so a dir referenced by no snapshot may be a commit in flight —
+          not garbage.  Dirs referenced by an *expired committed* snapshot
+          are deleted immediately (they were superseded under the lock);
+          dirs referenced by NOTHING (crash orphans / in-flight writes)
+          are deleted only when older than ``orphan_grace_s`` — Iceberg's
+          ``deleteOrphanFiles(olderThan=...)`` contract."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            return self._expire_locked(keep_last, older_than_s, orphan_grace_s)
+
+    def _expire_locked(
+        self, keep_last: int, older_than_s: float | None, orphan_grace_s: float
+    ) -> dict[str, int]:
         chain = self.committed_chain()
         if older_than_s is None:
             keep = chain[:keep_last]
@@ -1247,19 +1271,38 @@ class SequenceTable:
                 for i, s in enumerate(chain)
                 if i < floor or s.get("committed_at", 0.0) >= cutoff
             ]
-        live_dirs = {
-            os.path.dirname(os.path.join(self.root, e["path"]))
-            for s in keep
-            for e in (s["files"] + s.get("change_files", []))
-        }
-        live_commit_dirs = {os.path.dirname(d) for d in live_dirs}
+        def _commit_dirs(snaps) -> set[str]:
+            return {
+                os.path.dirname(
+                    os.path.dirname(os.path.join(self.root, e["path"]))
+                )
+                for s in snaps
+                for e in (s["files"] + s.get("change_files", []))
+            }
+        live_commit_dirs = _commit_dirs(keep)
+        # dirs referenced by expired committed snapshots: superseded under
+        # the commit lock, safe to delete right now
+        expired_commit_dirs = _commit_dirs(chain[len(keep):]) - live_commit_dirs
+        now = time.time()
         removed_files = 0
         for d in fs.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
-            if full not in live_commit_dirs:
-                removed_files += sum(len(fns) for _, _, fns in os.walk(full))
-                fs.remove_tree(full)
-        # orphan descriptors (crash leftovers) + expired ones
+            if full in live_commit_dirs:
+                continue
+            if full not in expired_commit_dirs:
+                # referenced by NO snapshot: crash orphan or an in-flight
+                # commit that staged its files before taking the lock —
+                # only reap it once it is unambiguously abandoned
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_grace_s:
+                    continue
+            removed_files += sum(len(fns) for _, _, fns in os.walk(full))
+            fs.remove_tree(full)
+        # orphan descriptors (crash leftovers) + expired ones — descriptors
+        # are written under the lock we hold, so none can be in flight
         committed_ids = {s["snapshot_id"] for s in keep}
         removed_snaps = 0
         for f in fs.listdir(self.meta_dir):
@@ -1267,8 +1310,8 @@ class SequenceTable:
                 os.unlink(os.path.join(self.meta_dir, f))
                 removed_snaps += 1
         # manifest segments unreferenced by any retained snapshot (expired
-        # commits' segments and crash orphans) — same reachability rule as
-        # the data dirs
+        # commits' segments and crash orphans) — segments are written under
+        # the lock too, so list-minus-live is exact here
         live_manifests = {
             ref["path"] for s in keep for ref in s.get("manifests", [])
         }

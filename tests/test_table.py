@@ -265,3 +265,36 @@ def test_expiry_with_live_changelog_cursor_raises_rebootstrap(spark, tmp_path):
         table.read_changes(spark, 2)
     with pytest.raises(ValueError, match="re-bootstrap"):
         mirror.mirror_once(spark, table, dst, chk)
+
+
+def test_expiry_orphan_grace_protects_inflight_dirs(spark, tmp_path):
+    """Expiry is safe concurrent with writers (metadata pass runs under the
+    commit mutex; data dirs are staged BEFORE a writer takes that lock):
+    a data dir referenced by NO snapshot — crash orphan or in-flight
+    commit — survives until older than orphan_grace_s (Iceberg's
+    deleteOrphanFiles(olderThan=...) contract), while expired-snapshot
+    metadata is reaped immediately."""
+    import os
+    import time
+
+    cfg = GenConfig(n_docs_initial=15, n_events=80, n_segments=2, seed=311)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    # simulate an in-flight writer: staged data dir, commit() not yet called
+    inflight = os.path.join(table.data_dir, "commit-inflight-deadbeef")
+    os.makedirs(os.path.join(inflight, "_bucket=0"))
+    with open(os.path.join(inflight, "_bucket=0", "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["removed_snapshots"] >= 1
+    assert os.path.isdir(inflight), "fresh unreferenced dir must survive"
+    assert_state_equal(table.read(spark), fx["expected"])
+    # age the orphan past the grace: the next pass reaps it
+    old = time.time() - 10_000
+    os.utime(inflight, (old, old))
+    table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(inflight)
+    # the pass released the commit mutex: writers proceed normally after
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id="post-expiry")
+    assert_state_equal(table.read(spark), fx["expected"])
