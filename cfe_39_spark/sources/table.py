@@ -635,11 +635,14 @@ class SequenceTable:
                 f"but latest is {parent['snapshot_id']}"
             )
         # a crash after descriptor write but before pointer swap leaves an
-        # orphan snap-N.json; never reuse its id
-        taken = [
-            int(f[5:-5]) for f in fs.listdir(self.meta_dir) if f.startswith("snap-")
-        ]
-        sid = max(taken + [parent["snapshot_id"]]) + 1
+        # orphan snap-N.json; never reuse its id.  Probe forward from the
+        # parent with point-existence checks: orphans are rare (one crash
+        # window each), so this is O(1 + orphans) stat calls per commit —
+        # NOT a directory listing, which is O(total commits) driver time on
+        # a long-lived stream and an expensive LIST on object stores
+        sid = parent["snapshot_id"] + 1
+        while os.path.exists(self._snap_path(sid)):
+            sid += 1
         schemas = dict(parent["schemas"])
         sv = schema_version if schema_version is not None else parent["schema_version"]
         if new_schema is not None:

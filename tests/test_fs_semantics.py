@@ -74,9 +74,17 @@ def test_pointer_crash_window_recovers_from_log(tmp_path, hdfs_fs):
     assert t.latest_snapshot_id() == 3
     assert t.snapshot()["batch_id"] == "b1"
     sid = t.commit("b2", [], t.snapshot()["files"])
-    assert sid == 100  # ids never reused past the orphan descriptor
-    assert t.latest_snapshot_id() == 100
-    assert int(fs.read_text(os.path.join(t.meta_dir, "_LATEST"))) == 100
+    # id allocation probes forward from the parent (O(1) point stats, not
+    # an O(total commits) directory listing); the far orphan at 99 is
+    # irrelevant until the chain reaches it
+    assert sid == 4
+    assert t.latest_snapshot_id() == 4
+    assert int(fs.read_text(os.path.join(t.meta_dir, "_LATEST"))) == 4
+    # an orphan directly in the probe's path is skipped, never overwritten
+    fs.write_json_atomic(t._snap_path(5), {"snapshot_id": 5, "parent_id": 4,
+                                           "batch_id": "torn2", "files": []})
+    assert t.commit("b3", [], t.snapshot()["files"]) == 6
+    assert fs.read_json(t._snap_path(5))["batch_id"] == "torn2"
 
 
 def test_concurrent_writers_linearize_under_hdfs_semantics(tmp_path, hdfs_fs):
