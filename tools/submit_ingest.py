@@ -150,7 +150,10 @@ def cmd_show(spark, args):
         "snapshot_id": snap["snapshot_id"],
         "n_buckets": snap["n_buckets"],
         "schema_version": snap["schema_version"],
-        "n_files": len(snap["files"]),
+        # metadata-only: ref aggregates, no segment loads (v1 fallback inline)
+        "n_files": sum(r["n_files"] for r in snap["manifests"])
+        if "manifests" in snap
+        else len(snap["files"]),
         "rows": t.read(spark).count(),
     }
 
