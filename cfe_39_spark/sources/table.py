@@ -326,11 +326,19 @@ class SequenceTable:
             if e.get("kind", "base") == "delta":
                 b = str(e["bucket"])
                 dc[b] = dc.get(b, 0) + 1
+        # key-range aggregate: valid only if EVERY entry has bounds — one
+        # unknown range makes the segment range unknown (never range-pruned)
+        mins = [e.get("min_doc_id") for e in entries]
+        maxs = [e.get("max_doc_id") for e in entries]
+        known = entries and None not in mins and None not in maxs
         return {
             "path": rel,
             "n_files": len(entries),
             "n_rows": sum(int(e.get("rows", 0)) for e in entries),
             "delta_counts": dc,
+            "buckets": sorted({int(e["bucket"]) for e in entries}),
+            "min_doc_id": min(mins) if known else None,
+            "max_doc_id": max(maxs) if known else None,
         }
 
     def _load_manifest(self, ref: dict) -> list[dict]:
@@ -345,6 +353,38 @@ class SequenceTable:
         out: list[dict] = []
         for ref in snap.get("manifests", []):
             out.extend(self._load_manifest(ref))
+        return out
+
+    def _files_for_buckets(
+        self,
+        snap: dict,
+        wanted: set[int],
+        lo: str | None = None,
+        hi: str | None = None,
+    ) -> list[dict]:
+        """Candidate file entries for the given buckets (and, optionally,
+        doc_id range [lo, hi]) — Iceberg's manifest-list pruning: a segment
+        whose reference-level bucket set misses ``wanted``, or whose key
+        range is disjoint from [lo, hi], is skipped WITHOUT loading its
+        body.  Point lookups touch O(segments-with-the-key) metadata, not
+        O(live files).  Refs lacking the aggregates (pre-upgrade) and v1
+        inline descriptors degrade to the full scan — superset-safe."""
+        if "manifests" not in snap:
+            return [e for e in snap["files"] if e["bucket"] in wanted]
+        out: list[dict] = []
+        for ref in snap["manifests"]:
+            bs = ref.get("buckets")
+            if bs is not None and wanted.isdisjoint(bs):
+                continue
+            rmin, rmax = ref.get("min_doc_id"), ref.get("max_doc_id")
+            if (
+                lo is not None
+                and rmin is not None
+                and rmax is not None
+                and (rmax < lo or rmin > hi)
+            ):
+                continue
+            out.extend(e for e in self._load_manifest(ref) if e["bucket"] in wanted)
         return out
 
     def _plan_manifests(
@@ -920,10 +960,11 @@ class SequenceTable:
         for d, b in key_bucket.items():
             by_bucket.setdefault(b, []).append(d)
         keep = []
-        for e in snap["files"]:
+        ids = sorted(key_bucket)
+        # segment-level pruning first (bucket set + key range on the refs),
+        # then per-file min/max against the exact keys of the file's bucket
+        for e in self._files_for_buckets(snap, wanted, ids[0], ids[-1]):
             b = e["bucket"]
-            if b not in wanted:
-                continue
             if e["min_doc_id"] is None or e["max_doc_id"] is None:
                 keep.append(e)
                 continue

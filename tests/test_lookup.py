@@ -65,3 +65,33 @@ def test_lookup_skips_files(spark, tmp_path):
 def test_lookup_empty_keys(spark, tmp_path):
     fx, t = _setup(spark, tmp_path)
     assert t.lookup(spark, []).count() == 0
+
+
+def test_lookup_prunes_manifest_segments(spark, tmp_path, monkeypatch):
+    """The serving path must not materialize the whole manifest: segment
+    references carry bucket-set + key-range aggregates, so a point lookup
+    loads only segments that can hold the key's bucket — O(matching
+    segments), not O(live files) driver work (Iceberg manifest-list
+    pruning role)."""
+    from cfe_39_spark.sources import table as table_mod
+
+    fx, t = _setup(spark, tmp_path, n_buckets=8)
+    live = sorted(r["doc_id"] for r in t.read(spark).select("doc_id").collect())
+    key = live[0]
+    # count segment loads through a cold cache
+    table_mod._MANIFEST_CACHE.clear()
+    loads = []
+    real = SequenceTable._load_manifest
+
+    def counting(self, ref):
+        loads.append(ref["path"])
+        return real(self, ref)
+
+    monkeypatch.setattr(SequenceTable, "_load_manifest", counting)
+    got = t.lookup(spark, [key]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == key
+    n_total = len(t.snapshot()["manifests"])
+    # each per-trigger segment spans ~1 bucket's delta files out of 8
+    # buckets, so a 1-key lookup must skip most of them
+    assert len(set(loads) - {None}) < n_total, (loads, n_total)
+    assert len(loads) <= max(n_total // 2, 1), (len(loads), n_total)

@@ -110,6 +110,19 @@ def test_manifest_planner_invariants(tmp_path_factory, steps, target):
                     if e["kind"] == "delta":
                         dc[str(e["bucket"])] = dc.get(str(e["bucket"]), 0) + 1
                 assert r["delta_counts"] == dc
+                if "buckets" in r:  # refs written since segment pruning
+                    assert r["buckets"] == sorted({e["bucket"] for e in body})
+                    if body and r["min_doc_id"] is not None:
+                        assert r["min_doc_id"] == min(e["min_doc_id"] for e in body)
+                        assert r["max_doc_id"] == max(e["max_doc_id"] for e in body)
+            # segment-pruned candidate listing is a superset-exact filter:
+            # for every bucket, it returns exactly the files of that bucket
+            for b in range(4):
+                got_b = sorted(
+                    _key(e) for e in t._files_for_buckets(snap, {b})
+                )
+                want_b = sorted(_key(e) for e in expect if e["bucket"] == b)
+                assert got_b == want_b
             # the gauge reads refs only; must equal an entry scan
             by_scan: dict[int, int] = {}
             for e in snap["files"]:
