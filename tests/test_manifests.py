@@ -167,3 +167,32 @@ def test_parent_files_sentinel_equals_materialized_carry(spark, tmp_path):
     f2 = sorted(json.dumps(e, sort_keys=True) for e in table.snapshot(s2)["files"])
     f0 = sorted(json.dumps(e, sort_keys=True) for e in base)
     assert f0 == f1 == f2
+
+
+def test_long_stream_metadata_stays_bounded(spark, tmp_path):
+    """Integration soak for the whole metadata lifecycle: 40 triggers with
+    auto-compaction on and retention running every 10 triggers must leave
+    BOUNDED metadata — segment count under the coalesce target, descriptor
+    under a fixed size, on-disk segments exactly the reachable set — while
+    the final state still equals the oracle and expired batch ids stay
+    replay-suppressed (markers survive retention by design)."""
+    cfg = GenConfig(n_docs_initial=40, n_events=800, n_segments=40,
+                    dup_rate=0.1, seed=131)
+    table, fx, segs = _fixture(spark, tmp_path, cfg, n_buckets=4)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i,
+                    compact_threshold=3)
+        if (i + 1) % 10 == 0:
+            table.expire_snapshots(keep_last=3)
+    table.expire_snapshots(keep_last=2)
+    snap = table.snapshot()
+    assert len(snap["manifests"]) <= table_mod._MANIFEST_TARGET
+    assert os.path.getsize(table._snap_path(snap["snapshot_id"])) < 32_768
+    live = {r["path"] for s in table.committed_chain() for r in s["manifests"]}
+    on_disk = {os.path.join("manifests", f) for f in fs.listdir(table._manifest_dir())}
+    assert on_disk == live
+    # replay suppression outlives retention: an expired batch id is still a
+    # committed no-op, not a re-apply
+    r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    assert r.noop
+    assert_state_equal(table.read(spark), fx["expected"])
