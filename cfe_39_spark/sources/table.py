@@ -51,6 +51,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import datetime
 import os
 import time
 import uuid
@@ -1183,14 +1184,30 @@ class SequenceTable:
         return out
 
     def compact(
-        self, spark: SparkSession, buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        drop_tombstones_before: "datetime.datetime | str | None" = None,
     ) -> int | None:
         """Rewrite the given buckets (default: every bucket holding deltas)
         as LWW-resolved base files and drop their deltas — the background
         job that keeps merge-on-read read amplification bounded.  Commit is
-        idempotent on the parent snapshot id; tombstones are retained (they
-        carry the _last_offset watermark that keeps late redeliveries
-        no-ops)."""
+        idempotent on the parent snapshot id; tombstones are retained BY
+        DEFAULT (they carry the _last_offset watermark that keeps late
+        redeliveries no-ops).
+
+        ``drop_tombstones_before`` bounds delete-heavy growth: on a
+        10^10-event stream with churn, tombstones otherwise accumulate
+        forever.  It is an EVENT-TIME watermark (timestamp or ISO string —
+        the caller derives it from their source's late-data bound, exactly
+        as for a streaming watermark): a tombstone whose
+        ``_last_event_time`` is strictly older is physically dropped during
+        the rewrite, correct under the contract that no event older than
+        the watermark can still arrive.  A redelivery OLDER than a dropped
+        tombstone would re-insert the doc (the documented hazard of every
+        tombstone-retention scheme — Iceberg/Delta make the identical
+        trade); redeliveries at or after the watermark still no-op against
+        the retained tombstones."""
         snap = self.snapshot()
         with_deltas = set(self.delta_file_counts(snap))
         buckets = sorted(with_deltas if buckets is None else set(buckets) & with_deltas)
@@ -1199,17 +1216,29 @@ class SequenceTable:
         target = [e for e in snap["files"] if e["bucket"] in set(buckets)]
         rest = [e for e in snap["files"] if e["bucket"] not in set(buckets)]
         resolved = lww_resolve(self._read_files(spark, snap, target))
+        if drop_tombstones_before is not None:
+            resolved = resolved.filter(
+                (~F.col("_deleted"))
+                | (
+                    F.col("_last_event_time")
+                    >= F.lit(drop_tombstones_before).cast("timestamp")
+                )
+            )
         new_files = self._write_data_files(
             resolved,
             snap["n_buckets"],
             snap["schema_version"],
             batch_tag=f"compact{snap['snapshot_id']}",
         )
+        lineage: dict[str, Any] = {"compacted_buckets": buckets}
+        if drop_tombstones_before is not None:
+            # auditable: which watermark authorized dropping replay guards
+            lineage["tombstones_dropped_before"] = str(drop_tombstones_before)
         return self.commit(
             f"__compact__-{snap['snapshot_id']}",
             new_files,
             rest,
-            lineage={"compacted_buckets": buckets},
+            lineage=lineage,
             # fail loudly rather than silently dropping a concurrent
             # writer's files from the carried manifest
             expected_parent_id=snap["snapshot_id"],

@@ -298,3 +298,37 @@ def test_expiry_orphan_grace_protects_inflight_dirs(spark, tmp_path):
     # the pass released the commit mutex: writers proceed normally after
     apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id="post-expiry")
     assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_compact_tombstone_retention_watermark(spark, tmp_path):
+    """Tombstones are retained by default (replay guards), but a
+    delete-heavy 10^10-event stream must be able to bound their growth:
+    compact(drop_tombstones_before=<event-time watermark>) physically
+    drops tombstones older than the late-data bound during the rewrite,
+    without touching live-row state."""
+    cfg = GenConfig(n_docs_initial=30, n_events=200, n_segments=2, seed=401)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0,
+                compact_threshold=None)
+    n_tomb0 = table.read_state(spark).filter("_deleted").count()
+    # default compact: replay guards survive
+    table.compact(spark)
+    assert table.read_state(spark).filter("_deleted").count() == n_tomb0
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1,
+                compact_threshold=None)
+    st = table.read_state(spark)
+    n_tomb = st.filter("_deleted").count()
+    assert n_tomb > 0, "fixture must produce deletes"
+    # a mid-stream watermark drops only the strictly-older tombstones
+    mid = st.filter("_deleted").selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(_last_event_time), 0.5)"
+        " as bigint)) as m").collect()[0]["m"]
+    table.compact(spark, drop_tombstones_before=mid)
+    kept = table.read_state(spark).filter("_deleted")
+    assert kept.count() < n_tomb
+    assert kept.filter(f"_last_event_time < timestamp'{mid}'").count() == 0
+    # live state is untouched by tombstone GC
+    assert_state_equal(table.read(spark), fx["expected"])
+    # the watermark that authorized the drop is auditable in lineage
+    tip = table.snapshot()
+    assert tip["lineage"]["tombstones_dropped_before"] == str(mid)
