@@ -121,7 +121,7 @@ def cmd_compact(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
     t = SequenceTable(args.table)
-    sid = t.compact(spark)
+    sid = t.compact(spark, drop_tombstones_before=args.drop_tombstones_before)
     return {"snapshot_id": sid if sid is not None else t.latest_snapshot_id(),
             "compacted": sid is not None}
 
@@ -138,7 +138,11 @@ def cmd_expire(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
     t = SequenceTable(args.table)
-    return t.expire_snapshots(keep_last=args.keep_last)
+    return t.expire_snapshots(
+        keep_last=args.keep_last,
+        older_than_s=args.older_than_s,
+        orphan_grace_s=args.orphan_grace_s,
+    )
 
 
 def cmd_show(spark, args):
@@ -204,6 +208,9 @@ def parse_args(argv):
 
     k = sub.add_parser("compact", help="merge MOR deltas (S8 maintenance)")
     k.add_argument("--table", required=True)
+    k.add_argument("--drop-tombstones-before", default=None,
+                   help="event-time watermark: physically drop older "
+                        "tombstones during the rewrite (late-data contract)")
 
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
@@ -212,6 +219,11 @@ def parse_args(argv):
     e = sub.add_parser("expire", help="expire old snapshots (S8)")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--older-than-s", type=float, default=None,
+                   help="wall-clock retention: keep snapshots newer than this")
+    e.add_argument("--orphan-grace-s", type=float, default=600.0,
+                   help="min age before unreferenced (in-flight/crash) "
+                        "data dirs are reaped")
 
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
