@@ -86,8 +86,29 @@ _MANIFEST_TARGET = int(os.environ.get("CFE39_MANIFEST_TARGET", "32"))
 # Manifest segments are immutable once written (same discipline as data
 # files), so a process-wide content cache keyed by absolute path is safe;
 # it bounds repeated snapshot()["files"] materializations to one read per
-# segment per process.
-_MANIFEST_CACHE: dict[str, list[dict]] = {}
+# segment per process.  LRU-bounded: a long-lived streaming driver writes
+# one segment per trigger (millions over a stream's life) — an unbounded
+# cache is a slow driver-memory leak even though each entry is small.
+_MANIFEST_CACHE_MAX = int(os.environ.get("CFE39_MANIFEST_CACHE_MAX", "256"))
+
+
+class _LRUCache(dict):
+    def __setitem__(self, key, value):
+        if key in self:
+            del self[key]
+        super().__setitem__(key, value)
+        while len(self) > _MANIFEST_CACHE_MAX:
+            del self[next(iter(self))]
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)
+            super().__setitem__(key, val)  # refresh recency
+            return val
+        return default
+
+
+_MANIFEST_CACHE: dict[str, list[dict]] = _LRUCache()
 
 
 class _Snapshot(dict):

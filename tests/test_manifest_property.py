@@ -131,3 +131,23 @@ def test_manifest_planner_invariants(tmp_path_factory, steps, target):
             assert t.delta_file_counts(snap) == by_scan
     finally:
         table_mod._MANIFEST_TARGET = old_target
+
+
+def test_manifest_cache_is_bounded():
+    """The process-wide segment cache must not grow with stream lifetime:
+    a long-lived driver writes one segment per trigger, so an unbounded
+    cache is a slow memory leak.  LRU semantics: recently-read entries
+    survive, old ones evict, correctness is unaffected (misses re-read)."""
+    c = table_mod._LRUCache()
+    cap = table_mod._MANIFEST_CACHE_MAX
+    for i in range(cap * 3):
+        c[f"p{i}"] = [{"i": i}]
+    assert len(c) == cap
+    assert c.get("p0") is None  # evicted
+    newest = f"p{cap * 3 - 1}"
+    assert c.get(newest) == [{"i": cap * 3 - 1}]
+    # refreshing recency protects an entry from the next evictions
+    victim = next(iter(c))
+    c.get(victim)
+    c["extra"] = []
+    assert victim in c
