@@ -196,3 +196,37 @@ def test_long_stream_metadata_stays_bounded(spark, tmp_path):
     r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
     assert r.noop
     assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_crashed_commit_leaves_only_gc_able_orphan_segment(spark, tmp_path):
+    """A writer that dies after writing its manifest segment but before the
+    pointer swap must leave readers untouched; the orphan segment and
+    descriptor are reaped by the next retention pass (under the commit
+    mutex, so nothing in flight can be confused for garbage)."""
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=2, seed=211)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    tip = table.latest_snapshot_id()
+    want = table.read(spark).toPandas()
+    # simulate the torn commit: segment + descriptor exist, no pointer swap,
+    # no log line, no marker (the exact crash window after fs sync)
+    orphan_ref = table._write_manifest(tip + 1, [])
+    snap = dict(table.snapshot())
+    snap.pop("files", None)
+    snap.update(snapshot_id=tip + 1, parent_id=tip, batch_id="torn",
+                manifests=list(table.snapshot()["manifests"]) + [orphan_ref])
+    fs.write_json_atomic(table._snap_path(tip + 1), snap)
+    # readers: unaffected (pointer still at tip)
+    t2 = SequenceTable(table.root)
+    assert t2.latest_snapshot_id() == tip
+    assert t2.read(spark).toPandas().sort_values("doc_id").equals(
+        want.sort_values("doc_id"))
+    # next writer proceeds (skips the orphan id), then expiry reaps both
+    apply_batch(spark, t2, spark.read.parquet(segs[1]), batch_id=1)
+    t2.expire_snapshots(keep_last=2)
+    on_disk = {os.path.join("manifests", f) for f in fs.listdir(t2._manifest_dir())}
+    live = {r["path"] for s in t2.committed_chain() for r in s["manifests"]}
+    assert orphan_ref["path"] not in on_disk
+    assert on_disk == live
+    assert not os.path.exists(t2._snap_path(tip + 1))
+    assert_state_equal(t2.read(spark), fx["expected"])
