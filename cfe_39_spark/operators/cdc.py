@@ -741,10 +741,20 @@ def _apply_mor(
             f"total={time.monotonic() - t0:.2f}",
             file=sys.stderr,
         )
-    if compact_threshold and max(
-        table.delta_file_counts().values() or [0]
-    ) >= compact_threshold:
-        table.compact(spark)
+    if compact_threshold:
+        # compact ONLY the buckets at/over the threshold: each trigger's
+        # compaction pause is O(offending buckets), not a whole-table
+        # rewrite the moment one bucket crosses — at 1024 buckets the
+        # difference between a bounded hiccup and a stream stall.  Buckets
+        # below threshold keep their deltas (read amp stays bounded by the
+        # threshold either way) and get their turn when they cross.
+        offenders = [
+            b
+            for b, n in table.delta_file_counts().items()
+            if n >= compact_threshold
+        ]
+        if offenders:
+            table.compact(spark, buckets=offenders)
     return ApplyResult(
         bid, sid, rows_applied, events_in, wall_ms=wall_ms,
         per_partition=per_partition, lww_strategy_used=strategy_used,

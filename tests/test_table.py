@@ -332,3 +332,30 @@ def test_compact_tombstone_retention_watermark(spark, tmp_path):
     # the watermark that authorized the drop is auditable in lineage
     tip = table.snapshot()
     assert tip["lineage"]["tombstones_dropped_before"] == str(mid)
+
+
+def test_auto_compaction_targets_only_offending_buckets(spark, tmp_path):
+    """Per-trigger compaction pause must be O(offending buckets): when one
+    bucket crosses the threshold, only at-threshold buckets are rewritten
+    (a whole-table rewrite inside a trigger is a stream stall at 1024
+    buckets), and every bucket stays under the threshold afterwards."""
+    cfg = GenConfig(n_docs_initial=25, n_events=60, n_segments=6,
+                    key_dist="hot", seed=503)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    # 16 buckets x ~10 events/segment: deltas accumulate unevenly, so
+    # buckets cross the threshold at different triggers
+    table = SequenceTable.create(spark, str(tmp_path / "table"), init,
+                                 n_buckets=16)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i,
+                    compact_threshold=2)
+    compactions = [s for s in table.committed_chain()
+                   if s["batch_id"].startswith("__compact__")]
+    assert compactions, "threshold 2 over 6 segments must trip compaction"
+    nb = table.snapshot()["n_buckets"]
+    assert all(len(s["lineage"]["compacted_buckets"]) < nb for s in compactions), \
+        "a compaction pass rewrote every bucket"
+    assert max(table.delta_file_counts().values(), default=0) < 2
+    assert_state_equal(table.read(spark), fx["expected"])
