@@ -95,6 +95,21 @@ def exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+def unlink(path: str, missing_ok: bool = True) -> None:
+    """Delete one metadata object (object-store DELETE role)."""
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        if not missing_ok:
+            raise
+
+
+def getmtime(path: str) -> float:
+    """Last-modified time (object-store HEAD role; used only for
+    orphan-age grace decisions, never for ordering)."""
+    return os.path.getmtime(path)
+
+
 def listdir(path: str) -> list[str]:
     return sorted(os.listdir(path)) if os.path.isdir(path) else []
 

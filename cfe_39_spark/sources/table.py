@@ -703,7 +703,7 @@ class SequenceTable:
         # NOT a directory listing, which is O(total commits) driver time on
         # a long-lived stream and an expensive LIST on object stores
         sid = parent["snapshot_id"] + 1
-        while os.path.exists(self._snap_path(sid)):
+        while fs.exists(self._snap_path(sid)):
             sid += 1
         schemas = dict(parent["schemas"])
         sv = schema_version if schema_version is not None else parent["schema_version"]
@@ -863,9 +863,7 @@ class SequenceTable:
             # visible, the probe walk must already stop at it (a marked
             # boundary) instead of descending into the rolled-back span
             for s in rolled:
-                p = self._marker_path(s["batch_id"])
-                if fs.exists(p):
-                    os.unlink(p)
+                fs.unlink(self._marker_path(s["batch_id"]))
             self._write_marker(f"__rollback_to_{to_snapshot_id}__", new_sid)
             fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(new_sid))
             return new_sid
@@ -1388,7 +1386,7 @@ class SequenceTable:
                 # commit that staged its files before taking the lock —
                 # only reap it once it is unambiguously abandoned
                 try:
-                    age = now - os.path.getmtime(full)
+                    age = now - fs.getmtime(full)
                 except OSError:
                     continue
                 if age < orphan_grace_s:
@@ -1401,7 +1399,7 @@ class SequenceTable:
         removed_snaps = 0
         for f in fs.listdir(self.meta_dir):
             if f.startswith("snap-") and int(f[5:-5]) not in committed_ids:
-                os.unlink(os.path.join(self.meta_dir, f))
+                fs.unlink(os.path.join(self.meta_dir, f))
                 removed_snaps += 1
         # manifest segments unreferenced by any retained snapshot (expired
         # commits' segments and crash orphans) — segments are written under
@@ -1413,7 +1411,7 @@ class SequenceTable:
         for f in fs.listdir(mdir):
             rel = os.path.join("manifests", f)
             if rel not in live_manifests:
-                os.unlink(os.path.join(mdir, f))
+                fs.unlink(os.path.join(mdir, f))
                 _MANIFEST_CACHE.pop(os.path.join(self.meta_dir, rel), None)
         # keep_last snapshots now form the full chain; reparent the oldest
         if keep:
