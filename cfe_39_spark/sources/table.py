@@ -325,9 +325,79 @@ class SequenceTable:
                 return max(logged.values())
             raise
 
-    def snapshot(self, sid: int | None = None) -> dict[str, Any]:
+    def snapshot(self, sid: "int | str | None" = None) -> dict[str, Any]:
+        if isinstance(sid, str):
+            sid = self.resolve_ref(sid)
         sid = sid if sid is not None else self.latest_snapshot_id()
         return _Snapshot(fs.read_json(self._snap_path(sid)), self)
+
+    # -- named refs (tags): pinned, expiry-proof snapshots --------------- #
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """name -> snapshot_id for every tag (empty when none)."""
+        if not fs.exists(self._refs_path()):
+            return {}
+        return {
+            k: int(v)
+            for k, v in fs.read_json(self._refs_path()).get("tags", {}).items()
+        }
+
+    def resolve_ref(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"no tag named {name!r} (have: {sorted(t)})")
+        return t[name]
+
+    def tag(
+        self, name: str, snapshot_id: int | None = None, replace: bool = False
+    ) -> int:
+        """Pin ``snapshot_id`` (default: latest) under ``name`` — Iceberg's
+        tag ref.  A tagged snapshot is excluded from retention: its
+        descriptor, manifest segments and data files survive
+        ``expire_snapshots`` until the tag is removed, so a consumer can
+        freeze the exact table state a model was trained on ("the
+        reproducible-training-snapshot contract") while normal retention
+        keeps rolling ahead.
+
+        Once retention passes a tagged snapshot it becomes DETACHED: still
+        readable by tag or id (``read(spark, "prod-v1")``), but no longer
+        on the committed chain — so ``read_changes`` spans and ``rollback``
+        (which require chain ancestry) exclude it, exactly like Iceberg
+        tags vs the main branch.  Refs live in one atomically-swapped
+        ``refs.json``; updates run under the commit mutex."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            sid = (
+                int(snapshot_id)
+                if snapshot_id is not None
+                else self.latest_snapshot_id()
+            )
+            if not fs.exists(self._snap_path(sid)):
+                raise ValueError(
+                    f"cannot tag snapshot {sid}: no such snapshot (expired "
+                    "or never committed)"
+                )
+            t = self.tags()
+            if name in t and t[name] != sid and not replace:
+                raise ValueError(
+                    f"tag {name!r} already points at snapshot {t[name]}; "
+                    "pass replace=True to move it"
+                )
+            t[name] = sid
+            fs.write_json_atomic(self._refs_path(), {"tags": t})
+            return sid
+
+    def remove_tag(self, name: str) -> int:
+        """Drop the tag; its snapshot re-enters normal retention on the
+        next ``expire_snapshots`` pass.  Returns the unpinned id."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            t = self.tags()
+            if name not in t:
+                raise KeyError(f"no tag named {name!r}")
+            sid = t.pop(name)
+            fs.write_json_atomic(self._refs_path(), {"tags": t})
+            return sid
 
     # -- manifest segments (Iceberg manifest-list role) ----------------- #
     def _manifest_dir(self) -> str:
@@ -907,7 +977,7 @@ class SequenceTable:
         return out
 
     def read_state(
-        self, spark: SparkSession, snapshot_id: int | None = None, resolve: bool = True
+        self, spark: SparkSession, snapshot_id: "int | str | None" = None, resolve: bool = True
     ) -> DataFrame:
         """Full internal state (bookkeeping + tombstones included).  When
         the snapshot carries merge-on-read delta files, rows are LWW-
@@ -934,7 +1004,7 @@ class SequenceTable:
             out = out.unionByName(self._read_files(spark, snap, clean))
         return out
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, snapshot_id: "int | str | None" = None) -> DataFrame:
         """User-facing read: live rows, user columns only."""
         snap = self.snapshot(snapshot_id)
         user_cols = [f.name for f in self.user_schema(snap).fields]
@@ -945,7 +1015,7 @@ class SequenceTable:
         )
 
     def lookup(
-        self, spark: SparkSession, doc_ids: list[str], snapshot_id: int | None = None
+        self, spark: SparkSession, doc_ids: list[str], snapshot_id: "int | str | None" = None
     ) -> DataFrame:
         """Point reads by key, at file-skipping cost: O(files that can hold
         the keys), never O(table).  Two pruning stages, both driver-side
@@ -1004,8 +1074,8 @@ class SequenceTable:
     def read_changes(
         self,
         spark: SparkSession,
-        from_snapshot_id: int,
-        to_snapshot_id: int | None = None,
+        from_snapshot_id: "int | str",
+        to_snapshot_id: "int | str | None" = None,
         net: bool = False,
     ) -> DataFrame:
         """Change rows committed AFTER ``from_snapshot_id`` up to and
@@ -1029,6 +1099,14 @@ class SequenceTable:
         never table state; at 10^10 rows an incremental consumer pays for
         its delta, not the table.
         """
+        # tag names resolve to ids up front ("changes since the pinned
+        # training snapshot" — the incremental-refresh pattern); note a
+        # detached tag (retention passed it) is no longer chain-reachable,
+        # so the walk below correctly refuses it with the ancestry error
+        if isinstance(from_snapshot_id, str):
+            from_snapshot_id = self.resolve_ref(from_snapshot_id)
+        if isinstance(to_snapshot_id, str):
+            to_snapshot_id = self.resolve_ref(to_snapshot_id)
         to_sid = to_snapshot_id if to_snapshot_id is not None else self.latest_snapshot_id()
         target = self.snapshot(to_sid)
         span: list[dict] = []
@@ -1325,6 +1403,12 @@ class SequenceTable:
           ("downstream consumers may lag up to N hours") — while always
           retaining at least ``max(keep_last, 1)`` newest as a floor.
 
+        TAGGED snapshots (``tag()``) are pinned outside both rules: their
+        descriptors, manifest segments and data files survive every pass
+        until the tag is removed — the reproducible-training-snapshot
+        contract.  They do not extend the committed chain: once retention
+        passes them they are detached (readable by tag/id only).
+
         Both use the per-snapshot ``committed_at`` stamp; commit times are
         monotone along the chain, so the retained set is always a prefix
         of the committed chain (newest-first) and the oldest survivor is
@@ -1363,6 +1447,20 @@ class SequenceTable:
                 for i, s in enumerate(chain)
                 if i < floor or s.get("committed_at", 0.0) >= cutoff
             ]
+        # tagged snapshots are pinned OUTSIDE the retention rule: their
+        # descriptors, data dirs and manifest segments all survive, but
+        # they do NOT extend ``keep`` (the chain prefix) — once retention
+        # passes them they are detached refs, readable by tag/id only
+        # (Iceberg tag semantics).  A tag whose snapshot is already gone
+        # (created pre-feature, or raced an old expiry) pins nothing.
+        keep_ids = {s["snapshot_id"] for s in keep}
+        tagged: list[dict] = []
+        for tsid in sorted(set(self.tags().values()) - keep_ids):
+            try:
+                tagged.append(self.snapshot(tsid))
+            except FileNotFoundError:
+                continue
+        pinned = keep + tagged
         def _commit_dirs(snaps) -> set[str]:
             return {
                 os.path.dirname(
@@ -1371,7 +1469,7 @@ class SequenceTable:
                 for s in snaps
                 for e in (s["files"] + s.get("change_files", []))
             }
-        live_commit_dirs = _commit_dirs(keep)
+        live_commit_dirs = _commit_dirs(pinned)
         # dirs referenced by expired committed snapshots: superseded under
         # the commit lock, safe to delete right now
         expired_commit_dirs = _commit_dirs(chain[len(keep):]) - live_commit_dirs
@@ -1395,7 +1493,7 @@ class SequenceTable:
             fs.remove_tree(full)
         # orphan descriptors (crash leftovers) + expired ones — descriptors
         # are written under the lock we hold, so none can be in flight
-        committed_ids = {s["snapshot_id"] for s in keep}
+        committed_ids = {s["snapshot_id"] for s in pinned}
         removed_snaps = 0
         for f in fs.listdir(self.meta_dir):
             if f.startswith("snap-") and int(f[5:-5]) not in committed_ids:
@@ -1405,7 +1503,7 @@ class SequenceTable:
         # commits' segments and crash orphans) — segments are written under
         # the lock too, so list-minus-live is exact here
         live_manifests = {
-            ref["path"] for s in keep for ref in s.get("manifests", [])
+            ref["path"] for s in pinned for ref in s.get("manifests", [])
         }
         mdir = self._manifest_dir()
         for f in fs.listdir(mdir):

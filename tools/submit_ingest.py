@@ -28,7 +28,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local/sandbox runs from any cwd: the package sits next to tools/; under
+# spark-submit --py-files the zip on PYTHONPATH wins (inserted after it)
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_session(args):
@@ -145,6 +150,20 @@ def cmd_expire(spark, args):
     )
 
 
+def cmd_tag(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    if args.list:
+        return {"tags": t.tags()}
+    if args.remove:
+        return {"removed": args.remove, "snapshot_id": t.remove_tag(args.remove)}
+    if not args.name:
+        raise SystemExit("tag: one of --name, --list, --remove is required")
+    sid = t.tag(args.name, snapshot_id=args.snapshot, replace=args.replace)
+    return {"tag": args.name, "snapshot_id": sid}
+
+
 def cmd_show(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -159,6 +178,7 @@ def cmd_show(spark, args):
         if "manifests" in snap
         else len(snap["files"]),
         "rows": t.read(spark).count(),
+        "tags": t.tags(),
     }
 
 
@@ -225,6 +245,15 @@ def parse_args(argv):
                    help="min age before unreferenced (in-flight/crash) "
                         "data dirs are reaped")
 
+    tg = sub.add_parser("tag", help="pin/list/remove named snapshot refs "
+                                    "(pinned snapshots survive expire)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", help="tag to create (default target: latest)")
+    tg.add_argument("--snapshot", type=int, default=None)
+    tg.add_argument("--replace", action="store_true")
+    tg.add_argument("--list", action="store_true")
+    tg.add_argument("--remove", metavar="NAME")
+
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
 
@@ -240,6 +269,7 @@ COMMANDS = {
     "rollback": cmd_rollback,
     "compact": cmd_compact,
     "expire": cmd_expire,
+    "tag": cmd_tag,
     "show": cmd_show,
 }
 
