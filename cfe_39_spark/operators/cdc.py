@@ -83,6 +83,7 @@ class ApplyResult:
     wall_ms: int = 0
     per_partition: list[dict] = field(default_factory=list)
     lww_strategy_used: str = ""
+    events_quarantined: int = 0
 
 
 # Broadcast budget for the 'auto' LWW strategy: above this many distinct
@@ -250,6 +251,59 @@ def evolve_schema(
     return T.StructType(out_fields), changes
 
 
+def quarantine_bad_events(
+    events: DataFrame, quarantine_dir: str, batch_id: str
+) -> tuple[DataFrame, int]:
+    """Split malformed change events out of the batch (opt-in DLQ — the
+    engine-level counterpart of the Kafka decoder's dead-letter stream).
+
+    A CDC event is malformed when it cannot participate in the engine's
+    ordering/merge contract: null ``doc_id`` (no merge key), null
+    ``event_time``/``offset`` (no LWW position), or an op outside
+    {I, U, D}.  Without a quarantine such rows flow into the LWW aggregation
+    (null keys group together, null ordering fields sort below every real
+    event) and materialize garbage table rows that only a rollback can
+    remove.  Bad rows land in ``<quarantine_dir>/batch-<id>/`` with a
+    ``_quarantine_reason`` column — OVERWRITE per batch id, so a crashed
+    trigger's checkpoint replay rewrites identical content instead of
+    appending duplicates — and are counted by an ``Observation`` riding
+    the quarantine write job itself.
+
+    Cost when enabled: one extra scan of the batch per trigger (the
+    quarantine write); the kept-rows filter fuses into the downstream
+    plan.  Zero cost when disabled (the default) — the hot path is
+    untouched.
+    """
+    # NULL-safe: isin() is NULL for a NULL op, and a NULL predicate would
+    # drop the row from BOTH the quarantine and the kept set — coalesce
+    # pins it to "malformed" so every input row lands on exactly one side
+    op_ok = F.coalesce(F.col("op").isin("I", "U", "D"), F.lit(False))
+    bad = (
+        F.col("doc_id").isNull()
+        | F.col("event_time").isNull()
+        | F.col("offset").isNull()
+        | ~op_ok
+    )
+    reason = (
+        F.when(F.col("doc_id").isNull(), F.lit("null_doc_id"))
+        .when(
+            F.col("event_time").isNull() | F.col("offset").isNull(),
+            F.lit("null_ordering_field"),
+        )
+        .otherwise(F.lit("unknown_op"))
+    )
+    obs = Observation()
+    (
+        events.filter(bad)
+        .withColumn("_quarantine_reason", reason)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(quarantine_dir, f"batch-{batch_id}"))
+    )
+    n_bad = int(obs.get["n"] or 0)
+    return (events.filter(~bad) if n_bad else events), n_bad
+
+
 # ------------------------------------------------------------------ #
 # C4 + C5 + C6: idempotency filter, MERGE, lineage — one batch apply
 # ------------------------------------------------------------------ #
@@ -264,6 +318,7 @@ def apply_batch(
     compact_threshold: int | None = 16,
     known_partitions: list[int] | None = None,
     bcast_key_budget: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the table, exactly once.
 
@@ -315,6 +370,13 @@ def apply_batch(
     if existing is not None:
         return ApplyResult(bid, existing, 0, 0, noop=True)
 
+    # opt-in DLQ: malformed events (null key / null ordering / unknown op)
+    # leave the batch BEFORE any stats or winner selection, so lineage
+    # counts describe exactly what the merge consumed
+    quarantined = 0
+    if quarantine_dir is not None:
+        events, quarantined = quarantine_bad_events(events, quarantine_dir, bid)
+
     snap = table.snapshot()
     n_buckets = snap["n_buckets"]
     table_schema = table.user_schema(snap)
@@ -364,7 +426,7 @@ def apply_batch(
             spark, table, winners, bid, snap, new_schema, None, None,
             None, t0, compact_threshold,
             changes=changes, obs_ev=obs_ev, parts_hint=parts_hint, events=events,
-            strategy_used=strategy,
+            strategy_used=strategy, quarantined=quarantined,
         )
 
     # ---- C6: ONE column-pruned job for lineage stats + the batch's max
@@ -409,6 +471,7 @@ def apply_batch(
         return _apply_mor(
             spark, table, winners, bid, snap, new_schema, sv,
             register, prog, t0, compact_threshold, strategy_used=strategy,
+            quarantined=quarantined,
         )
 
     # persisted: reused by the merge-planner collect, the C4 join and the
@@ -579,6 +642,7 @@ def _apply_mor(
     parts_hint: list[int] | None = None,
     events: DataFrame | None = None,
     strategy_used: str = "",
+    quarantined: int = 0,
 ) -> ApplyResult:
     """Merge-on-read apply: stamp the winners with bookkeeping columns and
     commit them as delta files — no table read, no rewrite, O(batch) per
@@ -698,6 +762,7 @@ def _apply_mor(
         "events_in": events_in,
         "rows_applied": rows_applied,
         "rows_applied_semantics": "winners_written",
+        "events_quarantined": quarantined,
         "schema_changes": [],
         "per_partition": per_partition,
         "wall_ms": wall_ms,
@@ -758,4 +823,5 @@ def _apply_mor(
     return ApplyResult(
         bid, sid, rows_applied, events_in, wall_ms=wall_ms,
         per_partition=per_partition, lww_strategy_used=strategy_used,
+        events_quarantined=quarantined,
     )

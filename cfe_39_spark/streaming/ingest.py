@@ -50,6 +50,7 @@ def run_stream(
     known_partitions: list[int] | None = None,
     processing_time: str | None = None,
     max_batches: int | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Tail the log into the table.  ``available_now=True`` = bounded
     replay (process everything, then stop — T7); otherwise a continuous
@@ -61,7 +62,10 @@ def run_stream(
     long-running mode.  ``stop_after_batches`` simulates a crash for the
     kill-and-resume tests.  ``known_partitions``: source partition ids
     when known (a Kafka source's topic partition count) — enables the
-    one-job-per-trigger fused-stats hot path in ``apply_batch``."""
+    one-job-per-trigger fused-stats hot path in ``apply_batch``.
+    ``quarantine_dir``: opt-in DLQ — malformed events are diverted to
+    per-batch parquet there instead of entering the merge (see
+    ``quarantine_bad_events``)."""
     schema = infer_log_schema(spark, log_dir)
     src = (
         spark.readStream.schema(schema)
@@ -72,7 +76,8 @@ def run_stream(
 
     def _apply(df, batch_id: int) -> None:
         res = apply_batch(spark, table, df, batch_id, lww_strategy=lww_strategy,
-                          known_partitions=known_partitions)
+                          known_partitions=known_partitions,
+                          quarantine_dir=quarantine_dir)
         write_lineage(table.root, res)
         seen["n"] += 1
         if stop_after_batches is not None and seen["n"] >= stop_after_batches:
@@ -140,6 +145,7 @@ def replay(
     table: SequenceTable,
     lww_strategy: str = "bcast_join",
     segments_per_batch: int = 1,
+    quarantine_dir: str | None = None,
 ) -> list:
     """Deterministic batch replay (S2): iterate log segments in order
     through the same apply pipeline.  Used by verification and the bench
@@ -154,7 +160,7 @@ def replay(
         df = spark.read.schema(spark.read.parquet(chunk[-1]).schema).parquet(*chunk)
         res = apply_batch(
             spark, table, df, batch_id=f"replay-{i // segments_per_batch}",
-            lww_strategy=lww_strategy,
+            lww_strategy=lww_strategy, quarantine_dir=quarantine_dir,
         )
         write_lineage(table.root, res)
         results.append(res)

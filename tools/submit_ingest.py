@@ -73,6 +73,7 @@ def cmd_stream(spark, args):
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.continuous,
         known_partitions=known,
+        quarantine_dir=args.quarantine,
     )
     return {"batches": n, "snapshot_id": t.latest_snapshot_id()}
 
@@ -83,7 +84,8 @@ def cmd_replay(spark, args):
 
     t = SequenceTable(args.table)
     results = replay(spark, args.log, t,
-                     segments_per_batch=args.segments_per_batch)
+                     segments_per_batch=args.segments_per_batch,
+                     quarantine_dir=args.quarantine)
     return {
         "batches": len(results),
         "rows_applied": sum(r.rows_applied for r in results),
@@ -204,11 +206,15 @@ def parse_args(argv):
     s.add_argument("--known-partitions", type=int, default=0,
                    help="source partition count when known (Kafka topic "
                         "partitions) — enables the one-job-per-trigger path")
+    s.add_argument("--quarantine", default=None,
+                   help="DLQ dir: divert malformed events (null key/"
+                        "ordering, unknown op) instead of merging them")
 
     r = sub.add_parser("replay", help="deterministic batch replay (S2)")
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--segments-per-batch", type=int, default=1)
+    r.add_argument("--quarantine", default=None)
 
     c = sub.add_parser("changes", help="export incremental changelog (S10)")
     c.add_argument("--table", required=True)
