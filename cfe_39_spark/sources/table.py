@@ -819,7 +819,7 @@ class SequenceTable:
         self._write_marker(str(batch_id), sid)
         return sid
 
-    def rollback(self, to_snapshot_id: int) -> int:
+    def rollback(self, to_snapshot_id: "int | str") -> int:
         """Roll the table back to an earlier snapshot (Iceberg
         rollback-to-snapshot role) — the bad-batch recovery path: roll
         back, then replay corrected batches.
@@ -842,8 +842,15 @@ class SequenceTable:
         CDF consumers follow after a rollback).
 
         Runs under the commit mutex; returns the new snapshot id (or the
-        current one when the table is already at the target)."""
+        current one when the table is already at the target).  Accepts a
+        tag name — rolling back to a pinned release state ("redeploy
+        train-v1") — provided the tag is still chain-reachable: a DETACHED
+        tag (retention already passed it) fails the ancestry check below,
+        because the commits between it and the live tip are gone and a
+        rollback could not preserve history."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
+            if isinstance(to_snapshot_id, str):
+                to_snapshot_id = self.resolve_ref(to_snapshot_id)
             latest = self.latest_snapshot_id()
             if latest == to_snapshot_id:
                 return latest
