@@ -15,8 +15,10 @@ primitives follow other backends' contracts, injected by patching the
   self-healing chain walk (healing itself becomes a no-op), and rollback
   reconstructs the kept batches log from the chain with one atomic write.
 
-All tests are metadata-only (no Spark jobs): the protocol under test is
-driver-side by design.
+The protocol tests are metadata-only (no Spark jobs — the protocol under
+test is driver-side by design); the closing lifecycle matrix then drives
+the whole engine (ingest -> tag -> compact -> expire -> replay-noop)
+under each contract.
 """
 
 import os
@@ -173,3 +175,46 @@ def test_mutex_still_excludes_under_hdfs_semantics(tmp_path, hdfs_fs):
     for th in threads:
         th.join()
     assert sorted(entered) == list(range(6))
+
+
+# ---- full engine lifecycle under each backend contract ---------------- #
+# The protocol tests above are metadata-only; this matrix drives the WHOLE
+# engine (ingest -> tag -> compact -> expire -> replay-noop) under each
+# backend's metadata contract.  Data files are written by Spark's own
+# Hadoop FS layer (same split as production); only the snapshot protocol
+# rides fs.py, so patching the driver-side seams exercises exactly what a
+# real HDFS/S3 deployment would change.
+@pytest.mark.parametrize("backend", ["hdfs", "s3"])
+def test_full_lifecycle_under_backend_semantics(spark, tmp_path, monkeypatch, backend):
+    import glob
+
+    from cfe_39_spark.fixtures import GenConfig, write_fixture
+    from cfe_39_spark.operators.cdc import apply_batch
+
+    from .util import assert_state_equal
+
+    if backend == "hdfs":
+        monkeypatch.setattr(fs, "_rename_file", _hdfs_rename)
+    else:
+        monkeypatch.setattr(fs, "append_line", lambda path, line: None)
+
+    cfg = GenConfig(n_docs_initial=20, n_events=120, n_segments=3,
+                    dup_rate=0.2, seed=83)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    table = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    table.tag("pin")
+    pinned_sid = table.resolve_ref("pin")
+    pinned = table.read(spark, "pin").orderBy("doc_id").collect()
+    table.compact(spark)
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    # live state == oracle; pinned state bit-for-bit through the expiry
+    assert_state_equal(table.read(spark), fx["expected"])
+    assert table.read(spark, "pin").orderBy("doc_id").collect() == pinned
+    assert pinned_sid not in {s["snapshot_id"] for s in table.committed_chain()}
+    # exactly-once survives the backend contract: replayed batch -> no-op
+    r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    assert r.noop
