@@ -110,6 +110,18 @@ def getmtime(path: str) -> float:
     return os.path.getmtime(path)
 
 
+def touch(path: str) -> None:
+    """Refresh a path's mtime (object-store marker-PUT role).  Writers
+    stamp a staged commit directory when its data write COMPLETES so the
+    orphan-grace clock starts at write end, not job start — a long Spark
+    write otherwise leaves the top-level dir's mtime hours stale and a
+    concurrent ``expire_snapshots`` would reap the in-flight stage."""
+    try:
+        os.utime(path, None)
+    except OSError:
+        pass
+
+
 def listdir(path: str) -> list[str]:
     return sorted(os.listdir(path)) if os.path.isdir(path) else []
 

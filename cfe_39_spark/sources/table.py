@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -93,19 +94,35 @@ _MANIFEST_CACHE_MAX = int(os.environ.get("CFE39_MANIFEST_CACHE_MAX", "256"))
 
 
 class _LRUCache(dict):
+    """Process-wide LRU; the lock matters because READ paths are lock-free
+    by design (only commits take the table mutex) — two driver threads
+    materializing the same snapshot, or a metrics listener racing a query,
+    would otherwise hit the get()'s pop/reinsert recency refresh mid-flight
+    and crash a read with KeyError."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._lock = threading.Lock()
+
     def __setitem__(self, key, value):
-        if key in self:
-            del self[key]
-        super().__setitem__(key, value)
-        while len(self) > _MANIFEST_CACHE_MAX:
-            del self[next(iter(self))]
+        with self._lock:
+            super().pop(key, None)
+            super().__setitem__(key, value)
+            while len(self) > _MANIFEST_CACHE_MAX:
+                super().pop(next(iter(self)), None)
 
     def get(self, key, default=None):
-        if key in self:
-            val = super().pop(key)
+        with self._lock:
+            miss = object()
+            val = super().pop(key, miss)
+            if val is miss:
+                return default
             super().__setitem__(key, val)  # refresh recency
             return val
-        return default
+
+    def pop(self, key, default=None):
+        with self._lock:
+            return super().pop(key, default)
 
 
 _MANIFEST_CACHE: dict[str, list[dict]] = _LRUCache()
@@ -335,13 +352,35 @@ class SequenceTable:
     def _refs_path(self) -> str:
         return os.path.join(self.meta_dir, "refs.json")
 
+    def _read_refs(self) -> dict:
+        """Lock-free refs read with a one-step fallback: on HDFS-style
+        rename-no-overwrite backends the writer's delete+rename swap opens
+        a short no-file window on ``refs.json`` (the same window ``_LATEST``
+        recovers from via the batches log).  Writers keep ``refs.json.prev``
+        — the pre-swap state — so a reader caught in the window (or after a
+        writer crash mid-swap) sees the previous consistent ref set instead
+        of crashing or reading every tag as gone."""
+        for path in (self._refs_path(), self._refs_path() + ".prev"):
+            try:
+                return fs.read_json(path)
+            except FileNotFoundError:
+                continue
+        return {}
+
+    def _write_refs(self, refs: dict) -> None:
+        """Swap ``refs.json`` under the commit mutex (callers hold it),
+        preserving the previous state as the reader fallback above."""
+        p = self._refs_path()
+        try:
+            fs.write_atomic(p + ".prev", fs.read_text(p))
+        except FileNotFoundError:
+            pass
+        fs.write_json_atomic(p, refs)
+
     def tags(self) -> dict[str, int]:
         """name -> snapshot_id for every tag (empty when none)."""
-        if not fs.exists(self._refs_path()):
-            return {}
         return {
-            k: int(v)
-            for k, v in fs.read_json(self._refs_path()).get("tags", {}).items()
+            k: int(v) for k, v in self._read_refs().get("tags", {}).items()
         }
 
     def resolve_ref(self, name: str) -> int:
@@ -385,7 +424,7 @@ class SequenceTable:
                     "pass replace=True to move it"
                 )
             t[name] = sid
-            fs.write_json_atomic(self._refs_path(), {"tags": t})
+            self._write_refs(dict(self._read_refs(), tags=t))
             return sid
 
     def remove_tag(self, name: str) -> int:
@@ -396,7 +435,7 @@ class SequenceTable:
             if name not in t:
                 raise KeyError(f"no tag named {name!r}")
             sid = t.pop(name)
-            fs.write_json_atomic(self._refs_path(), {"tags": t})
+            self._write_refs(dict(self._read_refs(), tags=t))
             return sid
 
     # -- manifest segments (Iceberg manifest-list role) ----------------- #
@@ -597,7 +636,7 @@ class SequenceTable:
                     out[bid] = int(sid)
         return out
 
-    def find_batch(self, batch_id: str) -> int | None:
+    def find_batch(self, batch_id: str, _locked: bool = False) -> int | None:
         """Snapshot id that committed ``batch_id``, or None (idempotency probe).
 
         TRUE O(1) via one per-batch marker object (one atomic PUT per
@@ -620,11 +659,36 @@ class SequenceTable:
         swap and marker write would otherwise open).  Rollback deletes the
         dropped batches' markers and marks its own snapshot BEFORE the
         swap, so the walk always stops at the rollback boundary and never
-        resurrects a rolled-back batch id."""
+        resurrects a rolled-back batch id.
+
+        The self-heal WRITES are serialized with commit/rollback: a probe
+        that finds an unmarked suffix re-walks under the commit mutex
+        before repairing (``_locked=True`` when the caller already holds
+        it).  Without that, a probe walking the pre-rollback chain could
+        re-create markers a concurrent rollback just deleted — and the
+        corrected batch's redelivery would then no-op, the exact
+        exactly-once hole rollback's forget-before-swap discipline
+        closes."""
         bid = str(batch_id)
         hit = self._read_marker(bid)
         if hit is not None:
             return hit
+        found, unmarked = self._walk_unmarked(bid)
+        if unmarked and not _locked:
+            with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+                # the chain may have changed while we waited (a rollback,
+                # a new commit): re-walk under the lock, heal THAT suffix
+                found, unmarked = self._walk_unmarked(bid)
+                self._heal_markers(unmarked)
+        elif unmarked:
+            self._heal_markers(unmarked)
+        return found
+
+    def _walk_unmarked(
+        self, bid: str
+    ) -> "tuple[int | None, list[tuple[str, int]]]":
+        """Descend from the tip to the first marker-complete snapshot;
+        return (bid's snapshot id if seen, the unmarked suffix tip-first)."""
         found: int | None = None
         unmarked: list[tuple[str, int]] = []
         sid: int | None = self.latest_snapshot_id()
@@ -636,10 +700,12 @@ class SequenceTable:
             if s["batch_id"] == bid:
                 found = s["snapshot_id"]
             sid = s["parent_id"]
+        return found, unmarked
+
+    def _heal_markers(self, unmarked: list[tuple[str, int]]) -> None:
         for b, s2 in reversed(unmarked):  # oldest first: marker order = commit order
             self._write_marker(b, s2)
             fs.append_line(self._batches_log_path(), f"{b} {s2}")
-        return found
 
     def user_schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snapshot()
@@ -667,6 +733,12 @@ class SequenceTable:
             .write.partitionBy("_bucket")
             .parquet(out_dir)
         )
+        # restart the orphan-grace clock now the write is COMPLETE: the
+        # dir's top-level mtime dates from job start (task files land in
+        # subdirs), so a write longer than the grace would otherwise look
+        # abandoned to a concurrent expire_snapshots while the commit is
+        # still heading for the mutex
+        fs.touch(out_dir)
         paths: list[tuple[str, int]] = []
         for bdir in fs.listdir(out_dir):
             if not bdir.startswith("_bucket="):
@@ -757,7 +829,7 @@ class SequenceTable:
         expected_parent_id: int | None,
         lock: fs.mutex | None = None,
     ) -> int:
-        existing = self.find_batch(str(batch_id))
+        existing = self.find_batch(str(batch_id), _locked=True)
         if existing is not None:
             return existing  # replayed batch: no-op (exactly-once layer 1)
         parent = self.snapshot()
@@ -971,8 +1043,15 @@ class SequenceTable:
         parts = []
         for ver, paths in sorted(by_ver.items()):
             src = _schema_from_json(snap["schemas"][str(ver)])
-            have = {f.name for f in src.fields} | set(BOOKKEEPING_COLS)
             df = spark.read.parquet(*paths)
+            # intersect with the files' PHYSICAL columns: bookkeeping cols
+            # added after a file group was written (e.g. _last_src_partition
+            # landed after v1 tables existed) must null-fill like any other
+            # read-side schema evolution, not crash the select — downstream
+            # LWW ordering coalesces the nulls to the legacy sentinel
+            have = (
+                {f.name for f in src.fields} | set(BOOKKEEPING_COLS)
+            ) & set(df.columns)
             cols = [
                 (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in target.fields
@@ -1396,7 +1475,7 @@ class SequenceTable:
         self,
         keep_last: int = 2,
         older_than_s: float | None = None,
-        orphan_grace_s: float = 600.0,
+        orphan_grace_s: float = 21600.0,
     ) -> dict[str, int]:
         """Drop expired committed snapshots and delete data directories
         unreachable from the retained set.
@@ -1416,10 +1495,13 @@ class SequenceTable:
         contract.  They do not extend the committed chain: once retention
         passes them they are detached (readable by tag/id only).
 
-        Both use the per-snapshot ``committed_at`` stamp; commit times are
-        monotone along the chain, so the retained set is always a prefix
-        of the committed chain (newest-first) and the oldest survivor is
-        reparented to None.  A ``read_changes`` consumer whose cursor
+        Both use the per-snapshot ``committed_at`` stamp.  The retained
+        set is FORCED to be a prefix of the committed chain (newest-first)
+        — time-based retention cuts at the first too-old snapshot and
+        expires everything below it, so multi-writer clock skew (which can
+        make ``committed_at`` non-monotone along the chain) can never
+        expire a mid-chain snapshot out from under kept descendants.  The
+        oldest survivor is reparented to None.  A ``read_changes`` consumer whose cursor
         falls behind retention gets the explicit re-bootstrap error, never
         a silent gap.
 
@@ -1436,7 +1518,12 @@ class SequenceTable:
           are deleted immediately (they were superseded under the lock);
           dirs referenced by NOTHING (crash orphans / in-flight writes)
           are deleted only when older than ``orphan_grace_s`` — Iceberg's
-          ``deleteOrphanFiles(olderThan=...)`` contract."""
+          ``deleteOrphanFiles(olderThan=...)`` contract (its default is
+          3 days for the same reason ours is hours, not minutes: the
+          grace must exceed the gap between a stage's last write activity
+          and its commit; writers restamp the dir when the data write
+          completes, so the clock starts at write END, and the remaining
+          exposure is only the mutex-bound commit tail)."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
             return self._expire_locked(keep_last, older_than_s, orphan_grace_s)
 
@@ -1449,11 +1536,19 @@ class SequenceTable:
         else:
             cutoff = time.time() - older_than_s
             floor = max(keep_last, 1)
-            keep = [
-                s
-                for i, s in enumerate(chain)
-                if i < floor or s.get("committed_at", 0.0) >= cutoff
-            ]
+            # the retained set MUST be a chain prefix: commit stamps come
+            # from writer wall clocks, and multi-writer clock skew can make
+            # committed_at non-monotone along the chain — a per-snapshot
+            # filter would then expire a MID-chain snapshot, leaving kept
+            # descendants with a dangling parent link.  Cut at the first
+            # too-old snapshot (past the floor) and expire everything below
+            # it, stamps notwithstanding (Iceberg expires by ancestry the
+            # same way).
+            keep = list(chain[:floor])
+            for s in chain[floor:]:
+                if s.get("committed_at", 0.0) < cutoff:
+                    break
+                keep.append(s)
         # tagged snapshots are pinned OUTSIDE the retention rule: their
         # descriptors, data dirs and manifest segments all survive, but
         # they do NOT extend ``keep`` (the chain prefix) — once retention

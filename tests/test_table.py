@@ -290,8 +290,8 @@ def test_expiry_orphan_grace_protects_inflight_dirs(spark, tmp_path):
     assert stats["removed_snapshots"] >= 1
     assert os.path.isdir(inflight), "fresh unreferenced dir must survive"
     assert_state_equal(table.read(spark), fx["expected"])
-    # age the orphan past the grace: the next pass reaps it
-    old = time.time() - 10_000
+    # age the orphan past the (6 h default) grace: the next pass reaps it
+    old = time.time() - 100_000
     os.utime(inflight, (old, old))
     table.expire_snapshots(keep_last=1)
     assert not os.path.exists(inflight)

@@ -184,6 +184,15 @@ def cmd_show(spark, args):
     }
 
 
+def _sid_or_ref(v: str):
+    """Snapshot selector: a bare integer id, or a tag name (the library
+    resolves names via ``SequenceTable.resolve_ref``)."""
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
 def parse_args(argv):
     p = argparse.ArgumentParser(prog="submit_ingest")
     p.add_argument("--local", type=int, default=0,
@@ -218,8 +227,8 @@ def parse_args(argv):
 
     c = sub.add_parser("changes", help="export incremental changelog (S10)")
     c.add_argument("--table", required=True)
-    c.add_argument("--from-snapshot", type=int, required=True)
-    c.add_argument("--to-snapshot", type=int, default=None)
+    c.add_argument("--from-snapshot", type=_sid_or_ref, required=True)
+    c.add_argument("--to-snapshot", type=_sid_or_ref, default=None)
     c.add_argument("--net", action="store_true")
     c.add_argument("--out", required=True)
 
@@ -240,14 +249,15 @@ def parse_args(argv):
 
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
-    rb.add_argument("--to-snapshot", type=int, required=True)
+    rb.add_argument("--to-snapshot", type=_sid_or_ref, required=True,
+                    help="snapshot id or tag name (e.g. train-v1)")
 
     e = sub.add_parser("expire", help="expire old snapshots (S8)")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--older-than-s", type=float, default=None,
                    help="wall-clock retention: keep snapshots newer than this")
-    e.add_argument("--orphan-grace-s", type=float, default=600.0,
+    e.add_argument("--orphan-grace-s", type=float, default=21600.0,
                    help="min age before unreferenced (in-flight/crash) "
                         "data dirs are reaped")
 
