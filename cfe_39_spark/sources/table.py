@@ -384,10 +384,17 @@ class SequenceTable:
         }
 
     def resolve_ref(self, name: str) -> int:
+        """Tag or branch name -> snapshot id (branch = its current head,
+        so ``read(spark, "audit")`` is the WAP audit read)."""
         t = self.tags()
-        if name not in t:
-            raise KeyError(f"no tag named {name!r} (have: {sorted(t)})")
-        return t[name]
+        if name in t:
+            return t[name]
+        b = self.branches()
+        if name in b:
+            return b[name]
+        raise KeyError(
+            f"no ref named {name!r} (tags: {sorted(t)}, branches: {sorted(b)})"
+        )
 
     def tag(
         self, name: str, snapshot_id: int | None = None, replace: bool = False
@@ -423,6 +430,8 @@ class SequenceTable:
                     f"tag {name!r} already points at snapshot {t[name]}; "
                     "pass replace=True to move it"
                 )
+            if name in self.branches():
+                raise ValueError(f"ref {name!r} is a branch; tags and branches share one namespace")
             t[name] = sid
             self._write_refs(dict(self._read_refs(), tags=t))
             return sid
@@ -437,6 +446,147 @@ class SequenceTable:
             sid = t.pop(name)
             self._write_refs(dict(self._read_refs(), tags=t))
             return sid
+
+    # -- branches: staged commit lines + write-audit-publish ------------ #
+    def branches(self) -> dict[str, int]:
+        """name -> head snapshot_id for every branch (empty when none)."""
+        return {
+            k: int(v)
+            for k, v in self._read_refs().get("branches", {}).items()
+        }
+
+    def create_branch(self, name: str, at: "int | str | None" = None) -> int:
+        """Open a branch at ``at`` (default: latest) — Iceberg branch-ref
+        semantics on the from-scratch format.  A branch is a movable named
+        head: commits made through ``branch(name)`` extend it WITHOUT
+        touching ``_LATEST``, so main readers never see staged work.  The
+        write-audit-publish (WAP) pattern is create_branch("audit") →
+        apply batches to ``branch("audit")`` → validate by reading the
+        branch → ``fast_forward("audit")`` to publish atomically.
+
+        Branch heads (and every staged snapshot down to the main chain)
+        are pinned against retention like tags, so expiry can run mid-WAP
+        without reaping the unpublished line."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            sid = (
+                self.resolve_ref(at)
+                if isinstance(at, str)
+                else (int(at) if at is not None else self.latest_snapshot_id())
+            )
+            if not fs.exists(self._snap_path(sid)):
+                raise ValueError(f"cannot branch at snapshot {sid}: no such snapshot")
+            refs = self._read_refs()
+            if name in refs.get("tags", {}) or name in refs.get("branches", {}):
+                raise ValueError(f"ref {name!r} already exists")
+            b = dict(refs.get("branches", {}))
+            b[name] = sid
+            self._write_refs(dict(refs, branches=b))
+            return sid
+
+    def branch(self, name: str) -> "BranchHandle":
+        """Handle whose tip is the branch head: ``apply_batch``,
+        ``run_stream``, ``compact`` — the whole write machinery — work
+        against it unchanged and commit to the branch."""
+        if name not in self.branches():
+            raise KeyError(f"no branch named {name!r} (have: {sorted(self.branches())})")
+        return BranchHandle(self.root, name)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: atomically move main to the branch head —
+        Iceberg's fastForwardBranch, the WAP publish step.  Requires main
+        to be an ancestor of the head (fast-forward only): if main moved
+        since the branch was cut, the staged span was audited against a
+        stale base — replay it onto a fresh branch instead of silently
+        rebasing.
+
+        The span's batch ids enter the batches log BEFORE the pointer
+        swap: every line references an already-durable descriptor, so a
+        crash between the two steps lets pointer recovery land on the
+        head — i.e. it COMPLETES the publish (re-running fast_forward is
+        idempotent).  The branch ref stays at the head after publishing."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
+            heads = self.branches()
+            if name not in heads:
+                raise KeyError(f"no branch named {name!r}")
+            head = heads[name]
+            main = self.latest_snapshot_id()
+            if head == main:
+                return main
+            span: list[dict] = []
+            sid: int | None = head
+            while sid is not None and sid != main:
+                span.append(self.snapshot(sid))
+                sid = span[-1]["parent_id"]
+            if sid != main:
+                raise ValueError(
+                    f"branch {name!r} (head {head}) does not descend from "
+                    f"the current snapshot {main}; publish is fast-forward "
+                    "only — drop the branch and replay its batches onto a "
+                    "fresh one cut from the new main"
+                )
+            try:
+                lk.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
+            for s in reversed(span):  # oldest first: log order = commit order
+                fs.append_line(
+                    self._batches_log_path(),
+                    f"{s['batch_id']} {s['snapshot_id']}",
+                )
+            fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(head))
+            return head
+
+    def drop_branch(self, name: str) -> int:
+        """Abandon a branch.  The staged (branch-only) suffix's batch ids
+        are FORGOTTEN — markers deleted and any published-by-a-crashed-
+        publish log lines filtered — so the same batches can later apply
+        to main for real (the rollback forget discipline; without it an
+        abandoned audit line would make the production replay silently
+        no-op).  The staged descriptors/segments/data dirs become orphans
+        for the next ``expire_snapshots`` pass.  Returns the dropped
+        head."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+            heads = self.branches()
+            if name not in heads:
+                raise KeyError(f"no branch named {name!r}")
+            head = heads.pop(name)
+            main_ids = {s["snapshot_id"] for s in self.committed_chain()}
+            other = set()
+            for h in heads.values():  # keep batches shared with sibling branches
+                sid2: int | None = h
+                while sid2 is not None and sid2 not in main_ids:
+                    try:
+                        s2 = self.snapshot(sid2)
+                    except FileNotFoundError:
+                        break  # expired fork ancestry: past the staged suffix
+                    other.add(sid2)
+                    sid2 = s2["parent_id"]
+            dropped: list[dict] = []
+            sid: int | None = head
+            while sid is not None and sid not in main_ids and sid not in other:
+                try:
+                    s = self.snapshot(sid)
+                except FileNotFoundError:
+                    break  # expired fork ancestry: past the staged suffix
+                dropped.append(s)
+                sid = s["parent_id"]
+            for s in dropped:
+                fs.unlink(self._marker_path(s["batch_id"]))
+            drop_ids = {s["snapshot_id"] for s in dropped}
+            logp = self._batches_log_path()
+            if drop_ids and fs.exists(logp):
+                kept = [
+                    ln
+                    for ln in fs.read_text(logp).splitlines()
+                    if ln.strip() and int(ln.rsplit(" ", 1)[1]) not in drop_ids
+                ]
+                fs.write_atomic(logp, "\n".join(kept) + "\n" if kept else "")
+            refs = self._read_refs()
+            refs["branches"] = {
+                k: v for k, v in refs.get("branches", {}).items() if k != name
+            }
+            self._write_refs(refs)
+            return head
 
     # -- manifest segments (Iceberg manifest-list role) ----------------- #
     def _manifest_dir(self) -> str:
@@ -843,8 +993,14 @@ class SequenceTable:
         # parent with point-existence checks: orphans are rare (one crash
         # window each), so this is O(1 + orphans) stat calls per commit —
         # NOT a directory listing, which is O(total commits) driver time on
-        # a long-lived stream and an expensive LIST on object stores
-        sid = parent["snapshot_id"] + 1
+        # a long-lived stream and an expensive LIST on object stores.
+        # The probe starts at the GLOBAL floor, not just parent+1: a branch
+        # commit from an old head would otherwise recycle the id of an
+        # EXPIRED main snapshot whose (replay-suppressing) marker and log
+        # line still reference it — ids are never reused while anything can
+        # point at them.  Main ids only grow and branch heads are tracked,
+        # so max(_LATEST, branch heads) bounds every still-referenced id.
+        sid = max(parent["snapshot_id"], self._alloc_floor()) + 1
         while fs.exists(self._snap_path(sid)):
             sid += 1
         schemas = dict(parent["schemas"])
@@ -886,10 +1042,31 @@ class SequenceTable:
                 lock.verify()
             except fs.LockLostError as e:
                 raise CommitConflictError(str(e)) from None
-        fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(sid))
-        fs.append_line(self._batches_log_path(), f"{batch_id} {sid}")
+        self._advance_tip(str(batch_id), sid)
         self._write_marker(str(batch_id), sid)
         return sid
+
+    def _alloc_floor(self) -> int:
+        """Highest snapshot id any live pointer can reference (main tip +
+        every branch head); expired ids never exceed it, dropped-branch
+        ids have their markers deleted, so allocating above it is safe."""
+        ids = [0]
+        try:
+            ids.append(int(fs.read_text(os.path.join(self.meta_dir, "_LATEST"))))
+        except FileNotFoundError:
+            pass
+        ids.extend(self.branches().values())
+        return max(ids)
+
+    def _advance_tip(self, batch_id: str, sid: int) -> None:
+        """Make ``sid`` the visible tip.  Main: swap the ``_LATEST``
+        pointer, then trail it in the batches log (the no-pointer-window
+        recovery source).  ``BranchHandle`` overrides this to move its ref
+        in ``refs.json`` instead — branch commits never touch ``_LATEST``
+        or the log, so pointer recovery can never land on unpublished
+        staged work."""
+        fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(sid))
+        fs.append_line(self._batches_log_path(), f"{batch_id} {sid}")
 
     def rollback(self, to_snapshot_id: "int | str") -> int:
         """Roll the table back to an earlier snapshot (Iceberg
@@ -1562,6 +1739,30 @@ class SequenceTable:
                 tagged.append(self.snapshot(tsid))
             except FileNotFoundError:
                 continue
+        # branches pin their whole STAGED suffix (head down to the first
+        # main-chain snapshot): an in-flight WAP line must survive retention
+        # until published or dropped.  Like tags, pinning keeps descriptor,
+        # segments and data dirs alive via the reachability sweeps below —
+        # even if the fork-point main snapshot itself expires (the staged
+        # descriptors carry the full file set by manifest reference).
+        chain_ids = {s["snapshot_id"] for s in chain}
+        pinned_ids = keep_ids | {s["snapshot_id"] for s in tagged}
+        for bhead in sorted(self.branches().values()):
+            sid: int | None = bhead
+            head = True
+            # the head is pinned even when it sits ON the main chain (a
+            # branch cut from an old snapshot with nothing staged yet must
+            # not be bricked by count-based expiry); parents are walked
+            # only through the staged (off-chain) suffix
+            while sid is not None and (head or sid not in chain_ids) and sid not in pinned_ids:
+                try:
+                    s = self.snapshot(sid)
+                except FileNotFoundError:
+                    break
+                tagged.append(s)
+                pinned_ids.add(sid)
+                sid = s["parent_id"]
+                head = False
         pinned = keep + tagged
         def _commit_dirs(snaps) -> set[str]:
             return {
@@ -1620,3 +1821,74 @@ class SequenceTable:
                 oldest = dict(oldest, parent_id=None)
                 fs.write_json_atomic(self._snap_path(oldest["snapshot_id"]), oldest)
         return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
+
+
+class BranchHandle(SequenceTable):
+    """A ``SequenceTable`` whose visible tip is a branch head instead of
+    ``_LATEST`` — the write-audit-publish staging surface.
+
+    The whole write machinery (``apply_batch``, ``run_stream``, ``compact``,
+    time travel, ``read_changes``) works against a handle unchanged: it only
+    ever consults the tip through ``latest_snapshot_id()`` / ``snapshot()``
+    and advances it through ``_advance_tip``, both re-pointed here.  Commits
+    through a handle extend the branch in ``refs.json`` and never touch
+    ``_LATEST`` or the batches log, so main readers cannot observe staged
+    work and pointer recovery cannot land on it; ``fast_forward`` publishes
+    the line atomically.
+
+    Batch-id idempotency is table-GLOBAL (markers are shared): a batch
+    staged on a branch no-ops if redelivered to main before publishing —
+    the same exactly-once guarantee, one id space.  ``drop_branch`` forgets
+    the staged ids so an abandoned audit line can be replayed for real.
+    """
+
+    def __init__(self, root: str, name: str):
+        super().__init__(root)
+        self.branch_name = name
+
+    def latest_snapshot_id(self) -> int:
+        heads = self.branches()
+        if self.branch_name not in heads:
+            raise KeyError(
+                f"no branch named {self.branch_name!r} (dropped or published "
+                f"and removed); have: {sorted(heads)}"
+            )
+        return heads[self.branch_name]
+
+    def _advance_tip(self, batch_id: str, sid: int) -> None:
+        # runs under the commit mutex (commit holds it); drop_branch holds
+        # the same mutex, so a vanished ref here is a real conflict
+        refs = self._read_refs()
+        b = dict(refs.get("branches", {}))
+        if self.branch_name not in b:
+            raise CommitConflictError(
+                f"branch {self.branch_name!r} was dropped while this commit "
+                "was in flight"
+            )
+        b[self.branch_name] = sid
+        self._write_refs(dict(refs, branches=b))
+
+    def _heal_markers(self, unmarked: list[tuple[str, int]]) -> None:
+        # markers only: the batches log records MAIN pointer swaps, and a
+        # staged commit's line must not enter it before fast_forward does
+        for b, s2 in reversed(unmarked):
+            self._write_marker(b, s2)
+
+    def fast_forward(self, name: str | None = None) -> int:
+        """Publish (defaults to this handle's own branch) via the root
+        table, where main's tip and log live."""
+        return SequenceTable(self.root).fast_forward(name or self.branch_name)
+
+    def drop_branch(self, name: str | None = None) -> int:
+        return SequenceTable(self.root).drop_branch(name or self.branch_name)
+
+    def expire_snapshots(self, *a, **kw):
+        # retention reasons over MAIN's chain plus pinned refs
+        return SequenceTable(self.root).expire_snapshots(*a, **kw)
+
+    def rollback(self, to_snapshot_id):
+        raise ValueError(
+            "rollback moves main's tip and rewrites the batches log; run it "
+            "on the root SequenceTable — to discard staged branch work, "
+            "drop_branch() and cut a fresh branch instead"
+        )

@@ -1,0 +1,155 @@
+"""Branch refs + write-audit-publish (WAP): stage commits on a named
+branch invisible to main readers, audit by reading the branch, publish by
+fast-forwarding main to the branch head — Iceberg branch/fastForward
+semantics rebuilt on the from-scratch SequenceTable (SURVEY.md §2.1 S3/S6)."""
+
+import glob
+import os
+
+import pytest
+
+from cfe_39_spark.fixtures import GenConfig, write_fixture
+from cfe_39_spark.operators.cdc import apply_batch
+from cfe_39_spark.sources import fs
+from cfe_39_spark.sources.table import BranchHandle, SequenceTable
+
+from .util import assert_state_equal
+
+
+def _replayed(spark, tmp_path, n_segments=3, seed=111):
+    cfg = GenConfig(
+        n_docs_initial=20, n_events=120, n_segments=n_segments,
+        dup_rate=0.2, seed=seed,
+    )
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    table = SequenceTable.create(spark, str(tmp_path / "table"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    return table, fx, segs
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """The full WAP cycle: staged commits are invisible to main, readable
+    by branch name, and publish moves main atomically to the head."""
+    table, fx, segs = _replayed(spark, tmp_path)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    main_state = sorted(map(tuple, table.read(spark).collect()))
+    main_sid = table.latest_snapshot_id()
+
+    table.create_branch("audit")
+    b = table.branch("audit")
+    assert isinstance(b, BranchHandle)
+    for i, seg in enumerate(segs[1:], start=1):
+        r = apply_batch(spark, b, spark.read.parquet(seg), batch_id=i)
+        assert not r.noop
+    # main is untouched: same tip, same state
+    assert table.latest_snapshot_id() == main_sid
+    assert sorted(map(tuple, table.read(spark).collect())) == main_state
+    # the audit read: branch state is the fully-replayed oracle state
+    assert_state_equal(table.read(spark, "audit"), fx["expected"])
+    # staged commits never enter the batches log (pointer recovery must
+    # not land on unpublished work)
+    logged = table._batches_log()
+    assert "1" not in logged and "2" not in logged
+
+    head = table.fast_forward("audit")
+    assert table.latest_snapshot_id() == head
+    assert_state_equal(table.read(spark), fx["expected"])
+    # the published span is now in the log, and pointer recovery agrees
+    logged = table._batches_log()
+    assert logged["1"] > main_sid and logged["2"] > main_sid
+    fs.unlink(os.path.join(table.meta_dir, "_LATEST"))
+    assert SequenceTable(table.root).latest_snapshot_id() == head
+    fs.write_atomic(os.path.join(table.meta_dir, "_LATEST"), str(head))
+    # publish is idempotent; batch ids stay exactly-once on main
+    assert table.fast_forward("audit") == head
+    assert apply_batch(
+        spark, table, spark.read.parquet(segs[1]), batch_id=1
+    ).noop
+
+
+def test_publish_refuses_divergence(spark, tmp_path):
+    """fast_forward is fast-forward ONLY: if main moved after the branch
+    was cut, the audited span no longer applies to what main holds."""
+    table, fx, segs = _replayed(spark, tmp_path)
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[0]), batch_id="staged-0")
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id="main-1")
+    with pytest.raises(ValueError, match="fast-forward"):
+        table.fast_forward("audit")
+
+
+def test_branch_survives_retention_until_dropped(spark, tmp_path):
+    """An in-flight WAP line is pinned against expiry (head down to the
+    main chain); dropping the branch releases it AND forgets its batch
+    ids so the same batches can be replayed to main for real."""
+    table, fx, segs = _replayed(spark, tmp_path)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[1]), batch_id="s1")
+    apply_batch(spark, b, spark.read.parquet(segs[2]), batch_id="s2")
+    staged = [s["snapshot_id"] for s in b.committed_chain()[:2]]
+    # main churn + retention while the branch is in flight
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id="main-extra")
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    for sid in staged:
+        assert fs.exists(table._snap_path(sid)), "staged snapshot reaped"
+    assert table.read(spark, "audit").count() > 0  # audit read intact
+    # abandon the audit line
+    dropped_head = table.drop_branch("audit")
+    assert dropped_head == staged[0]
+    assert "audit" not in table.branches()
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    for sid in staged:
+        assert not fs.exists(table._snap_path(sid)), "dropped snapshot retained"
+    # forgotten ids: the same batch id now APPLIES to main instead of no-oping
+    r = apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id="s1")
+    assert not r.noop
+
+
+def test_branch_head_on_main_chain_survives_expiry(spark, tmp_path):
+    """A branch cut from an old main snapshot with nothing staged yet must
+    not be bricked by count-based retention."""
+    table, fx, segs = _replayed(spark, tmp_path)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    table.create_branch("wip")
+    for i, seg in enumerate(segs[1:], start=1):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert table.read(spark, "wip").count() > 0
+    # the detached-style head still accepts staged commits
+    b = table.branch("wip")
+    r = apply_batch(spark, b, spark.read.parquet(segs[1]), batch_id="wip-1")
+    assert not r.noop
+
+
+def test_refs_share_one_namespace_and_handle_guards(spark, tmp_path):
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=2, seed=113)
+    table.tag("pinned")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("pinned")
+    table.create_branch("audit")
+    with pytest.raises(ValueError, match="namespace"):
+        table.tag("audit")
+    b = table.branch("audit")
+    with pytest.raises(ValueError, match="root SequenceTable"):
+        b.rollback(1)
+    with pytest.raises(KeyError):
+        table.branch("nope")
+
+
+def test_branch_crash_heal_skips_batches_log(spark, tmp_path):
+    """A staged commit's marker crash-heal must repair the marker WITHOUT
+    writing the batch into the main batches log."""
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=2, seed=127)
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[0]), batch_id="staged")
+    head = b.latest_snapshot_id()
+    fs.unlink(table._marker_path("staged"))  # crash window: marker lost
+    b2 = SequenceTable(table.root).branch("audit")
+    assert b2.find_batch("staged") == head  # healed via the branch walk
+    assert b2._read_marker("staged") == head
+    assert "staged" not in SequenceTable(table.root)._batches_log()

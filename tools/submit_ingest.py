@@ -64,6 +64,8 @@ def cmd_stream(spark, args):
     from cfe_39_spark.streaming.ingest import run_stream
 
     t = SequenceTable(args.table)
+    if args.branch:
+        t = t.branch(args.branch)
     known = list(range(args.known_partitions)) if args.known_partitions else None
     n = run_stream(
         spark,
@@ -83,6 +85,8 @@ def cmd_replay(spark, args):
     from cfe_39_spark.streaming.ingest import replay
 
     t = SequenceTable(args.table)
+    if args.branch:
+        t = t.branch(args.branch)
     results = replay(spark, args.log, t,
                      segments_per_batch=args.segments_per_batch,
                      quarantine_dir=args.quarantine)
@@ -166,6 +170,24 @@ def cmd_tag(spark, args):
     return {"tag": args.name, "snapshot_id": sid}
 
 
+def cmd_branch(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    if args.list:
+        return {"branches": t.branches()}
+    if args.create:
+        return {"branch": args.create,
+                "snapshot_id": t.create_branch(args.create, at=args.at)}
+    if args.drop:
+        return {"dropped": args.drop, "head": t.drop_branch(args.drop)}
+    if args.publish:
+        return {"published": args.publish,
+                "snapshot_id": t.fast_forward(args.publish)}
+    raise SystemExit("branch: one of --create, --list, --drop, --publish "
+                     "is required")
+
+
 def cmd_show(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -181,6 +203,7 @@ def cmd_show(spark, args):
         else len(snap["files"]),
         "rows": t.read(spark).count(),
         "tags": t.tags(),
+        "branches": t.branches(),
     }
 
 
@@ -218,12 +241,17 @@ def parse_args(argv):
     s.add_argument("--quarantine", default=None,
                    help="DLQ dir: divert malformed events (null key/"
                         "ordering, unknown op) instead of merging them")
+    s.add_argument("--branch", default=None,
+                   help="stage commits on this branch (WAP); publish with "
+                        "the branch --publish subcommand")
 
     r = sub.add_parser("replay", help="deterministic batch replay (S2)")
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--segments-per-batch", type=int, default=1)
     r.add_argument("--quarantine", default=None)
+    r.add_argument("--branch", default=None,
+                   help="stage commits on this branch (WAP)")
 
     c = sub.add_parser("changes", help="export incremental changelog (S10)")
     c.add_argument("--table", required=True)
@@ -270,6 +298,19 @@ def parse_args(argv):
     tg.add_argument("--list", action="store_true")
     tg.add_argument("--remove", metavar="NAME")
 
+    br = sub.add_parser("branch", help="create/list/drop/publish branches "
+                                       "(write-audit-publish staging)")
+    br.add_argument("--table", required=True)
+    br.add_argument("--create", metavar="NAME")
+    br.add_argument("--at", type=_sid_or_ref, default=None,
+                    help="branch point: snapshot id or ref (default latest)")
+    br.add_argument("--list", action="store_true")
+    br.add_argument("--drop", metavar="NAME",
+                    help="abandon the branch; staged batch ids are "
+                         "forgotten so they can be replayed to main")
+    br.add_argument("--publish", metavar="NAME",
+                    help="fast-forward main to the branch head (WAP publish)")
+
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
 
@@ -286,6 +327,7 @@ COMMANDS = {
     "compact": cmd_compact,
     "expire": cmd_expire,
     "tag": cmd_tag,
+    "branch": cmd_branch,
     "show": cmd_show,
 }
 
