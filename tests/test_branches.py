@@ -153,3 +153,30 @@ def test_branch_crash_heal_skips_batches_log(spark, tmp_path):
     assert b2.find_batch("staged") == head  # healed via the branch walk
     assert b2._read_marker("staged") == head
     assert "staged" not in SequenceTable(table.root)._batches_log()
+
+
+def test_streaming_wap_stage_then_publish(spark, tmp_path):
+    """The full streaming WAP deployment shape: run_stream tails the log
+    into a BRANCH (main invisible throughout), the audit read validates,
+    fast_forward publishes — and the checkpointed stream's exactly-once
+    guarantees carry over unchanged because the handle IS a SequenceTable."""
+    from cfe_39_spark.streaming.ingest import run_stream
+
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=4, seed=131)
+    table.create_branch("audit")
+    b = table.branch("audit")
+    n = run_stream(
+        spark, os.path.dirname(segs[0]), b,
+        checkpoint=str(tmp_path / "cp"), max_files_per_trigger=1,
+    )
+    assert n >= 1
+    assert table.latest_snapshot_id() == 1, "main moved during staged streaming"
+    assert_state_equal(table.read(spark, "audit"), fx["expected"])
+    table.fast_forward("audit")
+    assert_state_equal(table.read(spark), fx["expected"])
+    # resuming the published stream's checkpoint over the branch is a no-op
+    n2 = run_stream(
+        spark, os.path.dirname(segs[0]), SequenceTable(table.root).branch("audit"),
+        checkpoint=str(tmp_path / "cp"), max_files_per_trigger=1,
+    )
+    assert_state_equal(SequenceTable(table.root).read(spark), fx["expected"])
