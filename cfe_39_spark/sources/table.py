@@ -1653,6 +1653,7 @@ class SequenceTable:
         keep_last: int = 2,
         older_than_s: float | None = None,
         orphan_grace_s: float = 21600.0,
+        forget_batches: bool = False,
     ) -> dict[str, int]:
         """Drop expired committed snapshots and delete data directories
         unreachable from the retained set.
@@ -1700,12 +1701,33 @@ class SequenceTable:
           grace must exceed the gap between a stage's last write activity
           and its commit; writers restamp the dir when the data write
           completes, so the clock starts at write END, and the remaining
-          exposure is only the mutex-bound commit tail)."""
+          exposure is only the mutex-bound commit tail).
+
+        ``forget_batches=True`` additionally GCs the idempotency layer for
+        the snapshots this pass expires: their per-batch marker objects
+        are deleted and their batches-log lines dropped.  Without it the
+        marker set grows O(total commits) forever — millions of metadata
+        objects over a 10^10-event stream.  The trade is explicit and
+        state-safe: batch-id suppression for the forgotten span is gone,
+        so a source that somehow redelivers an ancient batch re-applies
+        it — but row-level LWW idempotency (layer 2: the (event_time,
+        offset) monotonicity test against stored bookkeeping) makes that
+        re-apply a state no-op; only wasted work, never corruption.  Run
+        it when the redelivery horizon (the stream's checkpoint) is past
+        the expired span — the same contract tombstone GC encodes.
+        Markers of retained, tagged and branch-staged snapshots are
+        always kept."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
-            return self._expire_locked(keep_last, older_than_s, orphan_grace_s)
+            return self._expire_locked(
+                keep_last, older_than_s, orphan_grace_s, forget_batches
+            )
 
     def _expire_locked(
-        self, keep_last: int, older_than_s: float | None, orphan_grace_s: float
+        self,
+        keep_last: int,
+        older_than_s: float | None,
+        orphan_grace_s: float,
+        forget_batches: bool = False,
     ) -> dict[str, int]:
         chain = self.committed_chain()
         if older_than_s is None:
@@ -1764,6 +1786,34 @@ class SequenceTable:
                 sid = s["parent_id"]
                 head = False
         pinned = keep + tagged
+        forgotten = 0
+        if forget_batches:
+            # sweep-based idempotency GC: drop every marker whose snapshot
+            # is no longer pinned (covers leftovers from earlier passes
+            # that ran without the flag), and the matching log lines.  The
+            # recovery invariant survives: the tip is always in ``keep``,
+            # so the log's newest entry still names the last commit.
+            keep_sids = {s["snapshot_id"] for s in pinned}
+            bdir = os.path.join(self.meta_dir, "batches")
+            for f in fs.listdir(bdir):
+                p = os.path.join(bdir, f)
+                try:
+                    m = fs.read_json(p)
+                except (FileNotFoundError, ValueError):
+                    continue
+                if int(m.get("snapshot_id", -1)) not in keep_sids:
+                    fs.unlink(p)
+                    forgotten += 1
+            logp = self._batches_log_path()
+            if fs.exists(logp):
+                kept_lines = [
+                    ln
+                    for ln in fs.read_text(logp).splitlines()
+                    if ln.strip() and int(ln.rsplit(" ", 1)[1]) in keep_sids
+                ]
+                fs.write_atomic(
+                    logp, "\n".join(kept_lines) + "\n" if kept_lines else ""
+                )
         def _commit_dirs(snaps) -> set[str]:
             return {
                 os.path.dirname(
@@ -1820,7 +1870,11 @@ class SequenceTable:
             if oldest["parent_id"] is not None:
                 oldest = dict(oldest, parent_id=None)
                 fs.write_json_atomic(self._snap_path(oldest["snapshot_id"]), oldest)
-        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
+        return {
+            "removed_snapshots": removed_snaps,
+            "removed_files": removed_files,
+            "forgotten_batches": forgotten,
+        }
 
 
 class BranchHandle(SequenceTable):

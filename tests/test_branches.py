@@ -180,3 +180,22 @@ def test_streaming_wap_stage_then_publish(spark, tmp_path):
         checkpoint=str(tmp_path / "cp"), max_files_per_trigger=1,
     )
     assert_state_equal(SequenceTable(table.root).read(spark), fx["expected"])
+
+
+def test_read_changes_audits_the_staged_span(spark, tmp_path):
+    """The WAP audit diff: read_changes from main's tip to the branch head
+    is exactly what publishing would add."""
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=2, seed=137)
+    main_sid = table.latest_snapshot_id()
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[0]), batch_id="s0")
+    apply_batch(spark, b, spark.read.parquet(segs[1]), batch_id="s1")
+    diff = table.read_changes(spark, main_sid, "audit")
+    n_events = (
+        spark.read.parquet(segs[0]).count() + spark.read.parquet(segs[1]).count()
+    )
+    assert 0 < diff.count() <= n_events
+    assert set(diff.select("_change_type").distinct().toPandas()["_change_type"]) <= {
+        "upsert", "delete"
+    }

@@ -359,3 +359,39 @@ def test_auto_compaction_targets_only_offending_buckets(spark, tmp_path):
         "a compaction pass rewrote every bucket"
     assert max(table.delta_file_counts().values(), default=0) < 2
     assert_state_equal(table.read(spark), fx["expected"])
+
+
+def test_expire_forget_batches_bounds_idempotency_metadata(spark, tmp_path):
+    """Opt-in marker GC: without it the per-batch marker set grows
+    O(total commits) forever.  forget_batches=True drops expired
+    snapshots' markers + log lines; a redelivery of a forgotten batch
+    then RE-APPLIES, and row-level LWW idempotency (layer 2) makes that
+    re-apply a state no-op — wasted work, never corruption."""
+    import os
+
+    cfg = GenConfig(n_docs_initial=15, n_events=90, n_segments=3, seed=313)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    for i, seg in enumerate(segs):
+        apply_batch(spark, table, spark.read.parquet(seg), batch_id=i)
+    table.tag("keep-me", table.find_batch("1"))
+    bdir = os.path.join(table.meta_dir, "batches")
+    n_before = len(os.listdir(bdir))
+    stats = table.expire_snapshots(
+        keep_last=1, orphan_grace_s=0.0, forget_batches=True
+    )
+    assert stats["forgotten_batches"] > 0
+    # retained tip + tagged snapshot keep their markers; the rest are gone
+    assert len(os.listdir(bdir)) == n_before - stats["forgotten_batches"]
+    assert table.find_batch("2") is not None  # tip retained
+    assert table._read_marker("1") is not None  # tagged: still suppressed
+    assert table.find_batch("0") is None  # forgotten
+    # the log's newest entry still names the tip (recovery invariant)
+    logged = table._batches_log()
+    assert max(logged.values()) == table.latest_snapshot_id()
+    # redelivery of the forgotten batch re-applies but is a state no-op
+    before = sorted(map(tuple, table.read(spark).collect()))
+    r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    assert not r.noop
+    after = sorted(map(tuple, SequenceTable(table.root).read(spark).collect()))
+    assert after == before
+    assert_state_equal(SequenceTable(table.root).read(spark), fx["expected"])

@@ -153,6 +153,7 @@ def cmd_expire(spark, args):
         keep_last=args.keep_last,
         older_than_s=args.older_than_s,
         orphan_grace_s=args.orphan_grace_s,
+        forget_batches=args.forget_batches,
     )
 
 
@@ -288,6 +289,10 @@ def parse_args(argv):
     e.add_argument("--orphan-grace-s", type=float, default=21600.0,
                    help="min age before unreferenced (in-flight/crash) "
                         "data dirs are reaped")
+    e.add_argument("--forget-batches", action="store_true",
+                   help="also GC expired snapshots' idempotency markers + "
+                        "log lines (bounds metadata on long streams; run "
+                        "once the checkpoint is past the expired span)")
 
     tg = sub.add_parser("tag", help="pin/list/remove named snapshot refs "
                                     "(pinned snapshots survive expire)")
