@@ -336,10 +336,19 @@ class SequenceTable:
             # batches log trails every pointer swap (swap, THEN log line;
             # the pre-commit find_batch probe self-heals any unlogged
             # suffix first), so its newest entry is the last snapshot whose
-            # commit fully completed — exactly the recovery answer.
+            # commit fully completed — exactly the recovery answer.  One
+            # exception: fast_forward journals its log lines BEFORE its
+            # swap (under a _PUBLISH_INTENT marker), so a crashed publish
+            # may have logged a staged span main never adopted — a pending
+            # intent's span is excluded, keeping recovery on audited state.
             logged = self._batches_log()
-            if logged:
-                return max(logged.values())
+            try:
+                staged = set(fs.read_json(self._publish_intent_path())["span"])
+            except (FileNotFoundError, ValueError, KeyError):
+                staged = set()
+            cands = [v for v in logged.values() if v not in staged]
+            if cands:
+                return max(cands)
             raise
 
     def snapshot(self, sid: "int | str | None" = None) -> dict[str, Any]:
@@ -467,7 +476,7 @@ class SequenceTable:
         Branch heads (and every staged snapshot down to the main chain)
         are pinned against retention like tags, so expiry can run mid-WAP
         without reaping the unpublished line."""
-        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             sid = (
                 self.resolve_ref(at)
                 if isinstance(at, str)
@@ -478,6 +487,10 @@ class SequenceTable:
             refs = self._read_refs()
             if name in refs.get("tags", {}) or name in refs.get("branches", {}):
                 raise ValueError(f"ref {name!r} already exists")
+            try:
+                lk.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
             b = dict(refs.get("branches", {}))
             b[name] = sid
             self._write_refs(dict(refs, branches=b))
@@ -499,11 +512,14 @@ class SequenceTable:
         stale base — replay it onto a fresh branch instead of silently
         rebasing.
 
-        The span's batch ids enter the batches log BEFORE the pointer
-        swap: every line references an already-durable descriptor, so a
-        crash between the two steps lets pointer recovery land on the
-        head — i.e. it COMPLETES the publish (re-running fast_forward is
-        idempotent).  The branch ref stays at the head after publishing."""
+        The publish is journaled: a ``_PUBLISH_INTENT`` marker (branch,
+        head, span ids) lands first, then the span's batch-id log lines,
+        then the pointer swap, then the intent is deleted.  A crash at any
+        point is safe: pointer recovery EXCLUDES a pending intent's span
+        from the batches-log fallback, so an abandoned half-publish can
+        never be adopted as main (re-running fast_forward completes it;
+        ``drop_branch`` cancels it and scrubs its log lines).  The branch
+        ref stays at the head after publishing."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             heads = self.branches()
             if name not in heads:
@@ -511,11 +527,22 @@ class SequenceTable:
             head = heads[name]
             main = self.latest_snapshot_id()
             if head == main:
+                # retry after a crash between pointer swap and intent
+                # delete: the publish completed — clear the journal
+                fs.unlink(self._publish_intent_path())
                 return main
             span: list[dict] = []
             sid: int | None = head
             while sid is not None and sid != main:
-                span.append(self.snapshot(sid))
+                try:
+                    span.append(self.snapshot(sid))
+                except FileNotFoundError:
+                    # the walk fell off the staged suffix into EXPIRED main
+                    # ancestry: the fork point predates retention, so main
+                    # has necessarily moved on — this is divergence, give
+                    # the guided error instead of a raw missing-file trace
+                    sid = None
+                    break
                 sid = span[-1]["parent_id"]
             if sid != main:
                 raise ValueError(
@@ -528,13 +555,25 @@ class SequenceTable:
                 lk.verify()
             except fs.LockLostError as e:
                 raise CommitConflictError(str(e)) from None
+            fs.write_json_atomic(
+                self._publish_intent_path(),
+                {
+                    "branch": name,
+                    "head": head,
+                    "span": [s["snapshot_id"] for s in span],
+                },
+            )
             for s in reversed(span):  # oldest first: log order = commit order
                 fs.append_line(
                     self._batches_log_path(),
                     f"{s['batch_id']} {s['snapshot_id']}",
                 )
             fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(head))
+            fs.unlink(self._publish_intent_path())
             return head
+
+    def _publish_intent_path(self) -> str:
+        return os.path.join(self.meta_dir, "_PUBLISH_INTENT")
 
     def drop_branch(self, name: str) -> int:
         """Abandon a branch.  The staged (branch-only) suffix's batch ids
@@ -545,7 +584,7 @@ class SequenceTable:
         no-op).  The staged descriptors/segments/data dirs become orphans
         for the next ``expire_snapshots`` pass.  Returns the dropped
         head."""
-        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             heads = self.branches()
             if name not in heads:
                 raise KeyError(f"no branch named {name!r}")
@@ -570,17 +609,26 @@ class SequenceTable:
                     break  # expired fork ancestry: past the staged suffix
                 dropped.append(s)
                 sid = s["parent_id"]
+            # mutations start here: abort first if our lock was stale-broken
+            # (a waiter may be mid-commit; scrubbing the log or markers
+            # under it would erase its commit record)
+            try:
+                lk.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
+            # cancel a crashed half-publish of THIS branch before scrubbing:
+            # its journaled log lines are part of the staged record
+            try:
+                intent = fs.read_json(self._publish_intent_path())
+            except (FileNotFoundError, ValueError):
+                intent = None
+            if intent and intent.get("branch") == name:
+                fs.unlink(self._publish_intent_path())
             for s in dropped:
                 fs.unlink(self._marker_path(s["batch_id"]))
             drop_ids = {s["snapshot_id"] for s in dropped}
-            logp = self._batches_log_path()
-            if drop_ids and fs.exists(logp):
-                kept = [
-                    ln
-                    for ln in fs.read_text(logp).splitlines()
-                    if ln.strip() and int(ln.rsplit(" ", 1)[1]) not in drop_ids
-                ]
-                fs.write_atomic(logp, "\n".join(kept) + "\n" if kept else "")
+            if drop_ids:
+                self._filter_batches_log(drop_ids=drop_ids)
             refs = self._read_refs()
             refs["branches"] = {
                 k: v for k, v in refs.get("branches", {}).items() if k != name
@@ -785,6 +833,35 @@ class SequenceTable:
                     bid, _, sid = line.rpartition(" ")
                     out[bid] = int(sid)
         return out
+
+    def _filter_batches_log(
+        self,
+        drop_ids: set[int] | None = None,
+        keep_ids: set[int] | None = None,
+        extra_lines: list[str] | None = None,
+    ) -> None:
+        """Atomically rewrite the batches log, dropping lines whose
+        snapshot id is in ``drop_ids`` (or not in ``keep_ids``), appending
+        ``extra_lines`` — the one shared implementation for rollback's
+        forget, drop_branch's scrub and forget_batches GC, so the line
+        format lives in exactly one place.  No-op when the log is absent
+        (append-less backends) and nothing is to be added."""
+        logp = self._batches_log_path()
+        kept: list[str] = []
+        if fs.exists(logp):
+            for ln in fs.read_text(logp).splitlines():
+                if not ln.strip():
+                    continue
+                sid = int(ln.rsplit(" ", 1)[1])
+                if drop_ids is not None and sid in drop_ids:
+                    continue
+                if keep_ids is not None and sid not in keep_ids:
+                    continue
+                kept.append(ln)
+        elif not extra_lines:
+            return
+        kept.extend(extra_lines or [])
+        fs.write_atomic(logp, "\n".join(kept) + "\n" if kept else "")
 
     def find_batch(self, batch_id: str, _locked: bool = False) -> int | None:
         """Snapshot id that committed ``batch_id``, or None (idempotency probe).
@@ -1047,16 +1124,13 @@ class SequenceTable:
         return sid
 
     def _alloc_floor(self) -> int:
-        """Highest snapshot id any live pointer can reference (main tip +
-        every branch head); expired ids never exceed it, dropped-branch
-        ids have their markers deleted, so allocating above it is safe."""
-        ids = [0]
-        try:
-            ids.append(int(fs.read_text(os.path.join(self.meta_dir, "_LATEST"))))
-        except FileNotFoundError:
-            pass
-        ids.extend(self.branches().values())
-        return max(ids)
+        """Highest snapshot id a live pointer other than the commit's own
+        parent can reference — for a MAIN commit the parent IS the tip, so
+        only branch heads matter (one small refs read; ``BranchHandle``
+        adds the main tip).  Expired ids never exceed the floor, and
+        dropped-branch ids have their markers deleted, so allocating above
+        ``max(parent, floor)`` never recycles a still-referenced id."""
+        return max(self.branches().values(), default=0)
 
     def _advance_tip(self, batch_id: str, sid: int) -> None:
         """Make ``sid`` the visible tip.  Main: swap the ``_LATEST``
@@ -1155,13 +1229,17 @@ class SequenceTable:
             # applied" for them (crash between the two writes leaves the
             # rollback invisible — retry-safe, never half-forgotten)
             dropped = {s["snapshot_id"] for s in rolled}
-            logp = self._batches_log_path()
-            if fs.exists(logp):
-                kept = [
-                    ln
-                    for ln in fs.read_text(logp).splitlines()
-                    if ln.strip() and int(ln.rsplit(" ", 1)[1]) not in dropped
-                ]
+            # the rollback marker goes into the SAME atomic log write (not
+            # a separate append): it is what stops find_batch's chain walk
+            # at the rollback boundary — without it, the walk from the new
+            # tip descends through the (append-only) parent link into the
+            # rolled-back snapshots and resurrects their batch ids.  On
+            # append-less backends a separate append would be a no-op.
+            marker_line = f"__rollback_to_{to_snapshot_id}__ {new_sid}"
+            if fs.exists(self._batches_log_path()):
+                self._filter_batches_log(
+                    drop_ids=dropped, extra_lines=[marker_line]
+                )
             else:
                 # backends without appends (object stores) may have no log
                 # file at all — find_batch degrades to the chain walk there.
@@ -1170,19 +1248,14 @@ class SequenceTable:
                 # the old tip), so an empty log would make a corrected
                 # batch no-op.  Reconstruct the kept log from the chain
                 # (one atomic write — available on every backend).
-                kept = [
-                    f"{s['batch_id']} {s['snapshot_id']}"
-                    for s in reversed(self.committed_chain())
-                    if s["snapshot_id"] not in dropped
-                ]
-            # the rollback marker goes into the SAME atomic log write (not
-            # a separate append): it is what stops find_batch's chain walk
-            # at the rollback boundary — without it, the walk from the new
-            # tip descends through the (append-only) parent link into the
-            # rolled-back snapshots and resurrects their batch ids.  On
-            # append-less backends a separate append would be a no-op.
-            kept.append(f"__rollback_to_{to_snapshot_id}__ {new_sid}")
-            fs.write_atomic(logp, "\n".join(kept) + "\n")
+                self._filter_batches_log(
+                    extra_lines=[
+                        f"{s['batch_id']} {s['snapshot_id']}"
+                        for s in reversed(self.committed_chain())
+                        if s["snapshot_id"] not in dropped
+                    ]
+                    + [marker_line]
+                )
             # marker objects, same forget-before-swap discipline: delete
             # the dropped batches' markers and mark the rollback snapshot
             # itself BEFORE the pointer moves — once the new tip is
@@ -1717,9 +1790,9 @@ class SequenceTable:
         the expired span — the same contract tombstone GC encodes.
         Markers of retained, tagged and branch-staged snapshots are
         always kept."""
-        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             return self._expire_locked(
-                keep_last, older_than_s, orphan_grace_s, forget_batches
+                keep_last, older_than_s, orphan_grace_s, forget_batches, lock=lk
             )
 
     def _expire_locked(
@@ -1728,6 +1801,7 @@ class SequenceTable:
         older_than_s: float | None,
         orphan_grace_s: float,
         forget_batches: bool = False,
+        lock: "fs.mutex | None" = None,
     ) -> dict[str, int]:
         chain = self.committed_chain()
         if older_than_s is None:
@@ -1786,6 +1860,14 @@ class SequenceTable:
                 sid = s["parent_id"]
                 head = False
         pinned = keep + tagged
+        # mutations start here: abort first if our lock was stale-broken
+        # (a waiter may be mid-commit; deleting metadata or scrubbing the
+        # log under it would erase its commit record)
+        if lock is not None:
+            try:
+                lock.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
         forgotten = 0
         if forget_batches:
             # sweep-based idempotency GC: drop every marker whose snapshot
@@ -1804,16 +1886,7 @@ class SequenceTable:
                 if int(m.get("snapshot_id", -1)) not in keep_sids:
                     fs.unlink(p)
                     forgotten += 1
-            logp = self._batches_log_path()
-            if fs.exists(logp):
-                kept_lines = [
-                    ln
-                    for ln in fs.read_text(logp).splitlines()
-                    if ln.strip() and int(ln.rsplit(" ", 1)[1]) in keep_sids
-                ]
-                fs.write_atomic(
-                    logp, "\n".join(kept_lines) + "\n" if kept_lines else ""
-                )
+            self._filter_batches_log(keep_ids=keep_sids)
         def _commit_dirs(snaps) -> set[str]:
             return {
                 os.path.dirname(
@@ -1927,6 +2000,19 @@ class BranchHandle(SequenceTable):
         # staged commit's line must not enter it before fast_forward does
         for b, s2 in reversed(unmarked):
             self._write_marker(b, s2)
+
+    def _alloc_floor(self) -> int:
+        # a branch commit's parent is the branch head, which can trail the
+        # main tip (and expired main ids below the tip must never be
+        # recycled while their markers reference them) — include it
+        floor = super()._alloc_floor()
+        try:
+            floor = max(
+                floor, int(fs.read_text(os.path.join(self.meta_dir, "_LATEST")))
+            )
+        except FileNotFoundError:
+            pass
+        return floor
 
     def fast_forward(self, name: str | None = None) -> int:
         """Publish (defaults to this handle's own branch) via the root

@@ -199,3 +199,73 @@ def test_read_changes_audits_the_staged_span(spark, tmp_path):
     assert set(diff.select("_change_type").distinct().toPandas()["_change_type"]) <= {
         "upsert", "delete"
     }
+
+
+def test_crashed_publish_never_poisons_pointer_recovery(spark, tmp_path, monkeypatch):
+    """A fast_forward that crashes after journaling the span's log lines
+    but before the pointer swap must not let pointer recovery adopt the
+    unpublished staged span (the _PUBLISH_INTENT exclusion); retrying the
+    publish completes it, dropping the branch cancels it."""
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=2, seed=139)
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id="m0")
+    main_sid = table.latest_snapshot_id()
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[0]), batch_id="s0")
+    head = b.latest_snapshot_id()
+
+    # crash injection: die right before the pointer swap (after intent +
+    # span log lines have landed)
+    real_write_atomic = fs.write_atomic
+
+    def crashing_write(path, data):
+        if path.endswith("_LATEST"):
+            raise RuntimeError("injected crash before pointer swap")
+        real_write_atomic(path, data)
+
+    monkeypatch.setattr(fs, "write_atomic", crashing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        table.fast_forward("audit")
+    monkeypatch.setattr(fs, "write_atomic", real_write_atomic)
+
+    # the staged span's lines are in the log, but recovery must not adopt
+    # them: simulate the HDFS no-pointer window
+    assert head in SequenceTable(table.root)._batches_log().values()
+    fs.unlink(os.path.join(table.meta_dir, "_LATEST"))
+    assert SequenceTable(table.root).latest_snapshot_id() == main_sid
+    fs.write_atomic(os.path.join(table.meta_dir, "_LATEST"), str(main_sid))
+
+    # retrying the publish completes it and clears the journal
+    assert table.fast_forward("audit") == head
+    assert not fs.exists(table._publish_intent_path())
+    assert sorted(map(tuple, table.read(spark).collect())) == sorted(
+        map(tuple, table.read(spark, "audit").collect())
+    )
+
+
+def test_crashed_publish_then_drop_scrubs_the_journal(spark, tmp_path, monkeypatch):
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=2, seed=149)
+    main_sid = table.latest_snapshot_id()
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[0]), batch_id="s0")
+    head = b.latest_snapshot_id()
+    real_write_atomic = fs.write_atomic
+
+    def crashing_write(path, data):
+        if path.endswith("_LATEST"):
+            raise RuntimeError("injected crash before pointer swap")
+        real_write_atomic(path, data)
+
+    monkeypatch.setattr(fs, "write_atomic", crashing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        table.fast_forward("audit")
+    monkeypatch.setattr(fs, "write_atomic", real_write_atomic)
+    # abandoning instead of retrying: drop cancels the intent AND scrubs
+    # the journaled lines, so recovery and idempotency are both clean
+    table.drop_branch("audit")
+    assert not fs.exists(table._publish_intent_path())
+    assert head not in SequenceTable(table.root)._batches_log().values()
+    assert table.latest_snapshot_id() == main_sid
+    r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id="s0")
+    assert not r.noop  # forgotten: the batch applies to main for real

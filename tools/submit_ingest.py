@@ -306,15 +306,17 @@ def parse_args(argv):
     br = sub.add_parser("branch", help="create/list/drop/publish branches "
                                        "(write-audit-publish staging)")
     br.add_argument("--table", required=True)
-    br.add_argument("--create", metavar="NAME")
+    brx = br.add_mutually_exclusive_group(required=True)
+    brx.add_argument("--create", metavar="NAME")
+    brx.add_argument("--list", action="store_true")
+    brx.add_argument("--drop", metavar="NAME",
+                     help="abandon the branch; staged batch ids are "
+                          "forgotten so they can be replayed to main")
+    brx.add_argument("--publish", metavar="NAME",
+                     help="fast-forward main to the branch head (WAP publish)")
     br.add_argument("--at", type=_sid_or_ref, default=None,
-                    help="branch point: snapshot id or ref (default latest)")
-    br.add_argument("--list", action="store_true")
-    br.add_argument("--drop", metavar="NAME",
-                    help="abandon the branch; staged batch ids are "
-                         "forgotten so they can be replayed to main")
-    br.add_argument("--publish", metavar="NAME",
-                    help="fast-forward main to the branch head (WAP publish)")
+                    help="branch point for --create: snapshot id or ref "
+                         "(default latest)")
 
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
