@@ -268,3 +268,49 @@ def test_commit_aborts_when_lock_stale_broken(spark, tmp_path, monkeypatch):
     assert t.latest_snapshot_id() == 1
     sid = t.commit("b1", [], t.snapshot()["files"])
     assert sid == 3 and t.latest_snapshot_id() == sid
+
+
+def test_concurrent_main_and_branch_writers_stay_isolated(spark, tmp_path):
+    """Writers racing on MAIN and on a BRANCH through the same commit
+    mutex: all four land, each line sees exactly its own batches (the
+    per-subset pandas oracle), and the diverged branch then refuses a
+    fast-forward publish."""
+    from cfe_39_spark.fixtures import expected_state
+
+    cfg = GenConfig(n_docs_initial=25, n_events=160, n_segments=4, dup_rate=0.2,
+                    shuffle_within_segments=True, seed=87)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    root = str(tmp_path / "t")
+    t0 = SequenceTable.create(spark, root, init, n_buckets=4)
+    t0.create_branch("audit")
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    main_segs, branch_segs = {0, 2}, {1, 3}
+
+    def worker(i):
+        handle = (
+            SequenceTable(root)
+            if i in main_segs
+            else SequenceTable(root).branch("audit")
+        )
+        return apply_batch(spark, handle, spark.read.parquet(segs[i]),
+                           batch_id=f"b{i}", compact_threshold=None)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(worker, range(4)))
+    assert all(r.snapshot_id for r in results)
+
+    t = SequenceTable(root)
+    # each line holds exactly its own batches
+    assert len(t.committed_chain()) == 1 + len(main_segs)
+    oracle_main = expected_state(
+        fx["initial"], [e for e in fx["events"] if e["_seg"] in main_segs]
+    )
+    oracle_branch = expected_state(
+        fx["initial"], [e for e in fx["events"] if e["_seg"] in branch_segs]
+    )
+    assert_state_equal(t.read(spark), oracle_main)
+    assert_state_equal(t.read(spark, "audit"), oracle_branch)
+    # main moved after the fork: the audited span no longer applies
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.fast_forward("audit")
