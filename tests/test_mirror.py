@@ -166,3 +166,28 @@ def test_mirror_derives_fused_hint_from_span_lineage(spark, pair, monkeypatch):
     assert set().union(*[set(h) for h in seen_hints]) <= all_parts
     assert_state_equal(dst.read(spark), fx["expected"])
     assert_state_equal(dst.read(spark), src.read(spark).orderBy("doc_id").toPandas())
+
+
+def test_mirror_consumes_a_published_wap_span(spark, pair):
+    """Publish is just a pointer move: a downstream mirror that drained
+    main before the WAP cycle picks up the whole staged span after
+    fast_forward — the change feed crosses publishes transparently."""
+    fx, src, dst, segs, chk = pair
+    # normal main commit, mirrored
+    apply_batch(spark, src, spark.read.parquet(segs[0]), batch_id=0,
+                compact_threshold=None)
+    mirror.run_mirror(spark, src, dst, chk)
+    assert_state_equal(dst.read(spark), src.read(spark).toPandas())
+    # WAP: stage the rest on a branch — the mirror must see NOTHING yet
+    src.create_branch("audit")
+    b = src.branch("audit")
+    for i, seg in enumerate(segs[1:], start=1):
+        apply_batch(spark, b, spark.read.parquet(seg), batch_id=i,
+                    compact_threshold=None)
+    assert mirror.run_mirror(spark, src, dst, chk) == []
+    # publish: one trigger drains the whole staged span downstream
+    src.fast_forward("audit")
+    ticks = mirror.run_mirror(spark, src, dst, chk)
+    assert ticks and ticks[-1].applied
+    assert_state_equal(dst.read(spark), src.read(spark).toPandas())
+    assert_state_equal(dst.read(spark), fx["expected"])

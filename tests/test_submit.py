@@ -129,3 +129,41 @@ def test_pyfiles_zip_deterministic(tmp_path):
     make_pyfiles.build(b)
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_submit_wap_cycle(spark, tmp_path, capsys):
+    """The operational WAP cycle end-to-end through the CLI: bootstrap ->
+    branch --create -> replay --branch -> branch --publish -> show."""
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=20, n_events=100, n_segments=3, seed=107),
+    )
+    table = str(tmp_path / "t")
+    log = str(tmp_path / "fx" / "segments")
+
+    run_cli(capsys, "bootstrap", "--table", table,
+            "--initial", str(tmp_path / "fx" / "initial.parquet"),
+            "--buckets", "4")
+    r = run_cli(capsys, "branch", "--table", table, "--create", "audit")
+    assert r == {"branch": "audit", "snapshot_id": 1}
+
+    r = run_cli(capsys, "replay", "--log", log, "--table", table,
+                "--branch", "audit")
+    assert r["batches"] == 3
+    # main untouched; the branch holds the staged state
+    assert SequenceTable(table).latest_snapshot_id() == 1
+    r = run_cli(capsys, "branch", "--table", table, "--list")
+    head = r["branches"]["audit"]
+    assert head > 1
+
+    r = run_cli(capsys, "branch", "--table", table, "--publish", "audit")
+    assert r == {"published": "audit", "snapshot_id": head}
+    assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
+    r = run_cli(capsys, "show", "--table", table)
+    assert r["branches"] == {"audit": head}
+
+    # the CLI rejects ambiguous branch invocations outright
+    with pytest.raises(SystemExit):
+        submit_ingest.parse_args(
+            ["branch", "--table", table, "--drop", "audit", "--publish", "audit"]
+        )
