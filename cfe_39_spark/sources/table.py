@@ -386,10 +386,25 @@ class SequenceTable:
             pass
         fs.write_json_atomic(p, refs)
 
+    @staticmethod
+    def _ref_sid(v) -> int:
+        # a ref value is a bare snapshot id (legacy / no TTL) or a dict
+        # {"sid", "created_at", "max_age_s"} when the ref carries a TTL
+        return int(v["sid"]) if isinstance(v, dict) else int(v)
+
+    @staticmethod
+    def _ref_expired(v, now: float) -> bool:
+        return (
+            isinstance(v, dict)
+            and v.get("max_age_s") is not None
+            and now - float(v.get("created_at", now)) > float(v["max_age_s"])
+        )
+
     def tags(self) -> dict[str, int]:
         """name -> snapshot_id for every tag (empty when none)."""
         return {
-            k: int(v) for k, v in self._read_refs().get("tags", {}).items()
+            k: self._ref_sid(v)
+            for k, v in self._read_refs().get("tags", {}).items()
         }
 
     def resolve_ref(self, name: str) -> int:
@@ -406,7 +421,11 @@ class SequenceTable:
         )
 
     def tag(
-        self, name: str, snapshot_id: int | None = None, replace: bool = False
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        replace: bool = False,
+        max_age_s: float | None = None,
     ) -> int:
         """Pin ``snapshot_id`` (default: latest) under ``name`` — Iceberg's
         tag ref.  A tagged snapshot is excluded from retention: its
@@ -421,7 +440,14 @@ class SequenceTable:
         on the committed chain — so ``read_changes`` spans and ``rollback``
         (which require chain ancestry) exclude it, exactly like Iceberg
         tags vs the main branch.  Refs live in one atomically-swapped
-        ``refs.json``; updates run under the commit mutex."""
+        ``refs.json``; updates run under the commit mutex.
+
+        ``max_age_s`` (Iceberg's maxRefAge): the tag auto-expires on the
+        first ``expire_snapshots`` pass after that age — a forgotten pin
+        is a RETENTION LEAK (it holds descriptor, segments and data dirs
+        forever), so time-bound pins are the production default for
+        anything not meant to outlive its consumer.  Default None = pinned
+        until removed."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
             sid = (
                 int(snapshot_id)
@@ -441,30 +467,46 @@ class SequenceTable:
                 )
             if name in self.branches():
                 raise ValueError(f"ref {name!r} is a branch; tags and branches share one namespace")
-            t[name] = sid
-            self._write_refs(dict(self._read_refs(), tags=t))
+            refs = self._read_refs()
+            traw = dict(refs.get("tags", {}))
+            traw[name] = (
+                sid
+                if max_age_s is None
+                else {
+                    "sid": sid,
+                    "created_at": time.time(),
+                    "max_age_s": float(max_age_s),
+                }
+            )
+            self._write_refs(dict(refs, tags=traw))
             return sid
 
     def remove_tag(self, name: str) -> int:
         """Drop the tag; its snapshot re-enters normal retention on the
         next ``expire_snapshots`` pass.  Returns the unpinned id."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")):
-            t = self.tags()
-            if name not in t:
+            refs = self._read_refs()
+            traw = dict(refs.get("tags", {}))
+            if name not in traw:
                 raise KeyError(f"no tag named {name!r}")
-            sid = t.pop(name)
-            self._write_refs(dict(self._read_refs(), tags=t))
+            sid = self._ref_sid(traw.pop(name))
+            self._write_refs(dict(refs, tags=traw))
             return sid
 
     # -- branches: staged commit lines + write-audit-publish ------------ #
     def branches(self) -> dict[str, int]:
         """name -> head snapshot_id for every branch (empty when none)."""
         return {
-            k: int(v)
+            k: self._ref_sid(v)
             for k, v in self._read_refs().get("branches", {}).items()
         }
 
-    def create_branch(self, name: str, at: "int | str | None" = None) -> int:
+    def create_branch(
+        self,
+        name: str,
+        at: "int | str | None" = None,
+        max_age_s: float | None = None,
+    ) -> int:
         """Open a branch at ``at`` (default: latest) — Iceberg branch-ref
         semantics on the from-scratch format.  A branch is a movable named
         head: commits made through ``branch(name)`` extend it WITHOUT
@@ -475,7 +517,11 @@ class SequenceTable:
 
         Branch heads (and every staged snapshot down to the main chain)
         are pinned against retention like tags, so expiry can run mid-WAP
-        without reaping the unpublished line."""
+        without reaping the unpublished line.  That pin is unbounded: an
+        ABANDONED branch is a retention leak, so ``max_age_s`` (Iceberg's
+        maxRefAge) auto-drops the branch — with the full forget discipline
+        — on the first ``expire_snapshots`` pass after that age.  Default
+        None = lives until dropped/published."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
             sid = (
                 self.resolve_ref(at)
@@ -492,7 +538,16 @@ class SequenceTable:
             except fs.LockLostError as e:
                 raise CommitConflictError(str(e)) from None
             b = dict(refs.get("branches", {}))
-            b[name] = sid
+            # the fork sid is part of the ref: it is the PRECISE lower
+            # boundary of the staged suffix, needed when the fork ancestry
+            # later expires off the main chain — without it, drop-forget
+            # and the expiry pin walk cannot tell detached main history
+            # from branch-created work
+            val: dict = {"sid": sid, "fork": sid}
+            if max_age_s is not None:
+                val["created_at"] = time.time()
+                val["max_age_s"] = float(max_age_s)
+            b[name] = val
             self._write_refs(dict(refs, branches=b))
             return sid
 
@@ -585,56 +640,80 @@ class SequenceTable:
         for the next ``expire_snapshots`` pass.  Returns the dropped
         head."""
         with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
-            heads = self.branches()
-            if name not in heads:
-                raise KeyError(f"no branch named {name!r}")
-            head = heads.pop(name)
-            main_ids = {s["snapshot_id"] for s in self.committed_chain()}
-            other = set()
-            for h in heads.values():  # keep batches shared with sibling branches
-                sid2: int | None = h
-                while sid2 is not None and sid2 not in main_ids:
-                    try:
-                        s2 = self.snapshot(sid2)
-                    except FileNotFoundError:
-                        break  # expired fork ancestry: past the staged suffix
-                    other.add(sid2)
-                    sid2 = s2["parent_id"]
-            dropped: list[dict] = []
-            sid: int | None = head
-            while sid is not None and sid not in main_ids and sid not in other:
-                try:
-                    s = self.snapshot(sid)
-                except FileNotFoundError:
-                    break  # expired fork ancestry: past the staged suffix
-                dropped.append(s)
-                sid = s["parent_id"]
-            # mutations start here: abort first if our lock was stale-broken
+            # mutations below: abort first if our lock was stale-broken
             # (a waiter may be mid-commit; scrubbing the log or markers
             # under it would erase its commit record)
             try:
                 lk.verify()
             except fs.LockLostError as e:
                 raise CommitConflictError(str(e)) from None
-            # cancel a crashed half-publish of THIS branch before scrubbing:
-            # its journaled log lines are part of the staged record
+            return self._drop_branch_locked(name)
+
+    @staticmethod
+    def _ref_fork(v) -> int | None:
+        return v.get("fork") if isinstance(v, dict) else None
+
+    def _drop_branch_locked(self, name: str) -> int:
+        """The drop-forget core; the caller holds (and has verified) the
+        commit mutex — also invoked by expiry's ref-TTL sweep.
+
+        Only snapshots CREATED ON THE BRANCH (strictly above its recorded
+        fork point) are forgotten: when the fork ancestry has expired off
+        the main chain, the detached fork snapshot is main history whose
+        batch really applied — erasing its marker would break replay
+        suppression for published state."""
+        braw = self._read_refs().get("branches", {})
+        if name not in braw:
+            raise KeyError(f"no branch named {name!r}")
+        head = self._ref_sid(braw[name])
+        fork = self._ref_fork(braw[name])
+        main_ids = {s["snapshot_id"] for s in self.committed_chain()}
+        other = set()
+        for n2, v2 in braw.items():  # keep batches shared with sibling branches
+            if n2 == name:
+                continue
+            sid2: int | None = self._ref_sid(v2)
+            fork2 = self._ref_fork(v2)
+            while sid2 is not None and sid2 != fork2 and sid2 not in main_ids:
+                try:
+                    s2 = self.snapshot(sid2)
+                except FileNotFoundError:
+                    break  # expired fork ancestry: past the staged suffix
+                other.add(sid2)
+                sid2 = s2["parent_id"]
+        dropped: list[dict] = []
+        sid: int | None = head
+        while (
+            sid is not None
+            and sid != fork
+            and sid not in main_ids
+            and sid not in other
+        ):
             try:
-                intent = fs.read_json(self._publish_intent_path())
-            except (FileNotFoundError, ValueError):
-                intent = None
-            if intent and intent.get("branch") == name:
-                fs.unlink(self._publish_intent_path())
-            for s in dropped:
-                fs.unlink(self._marker_path(s["batch_id"]))
-            drop_ids = {s["snapshot_id"] for s in dropped}
-            if drop_ids:
-                self._filter_batches_log(drop_ids=drop_ids)
-            refs = self._read_refs()
-            refs["branches"] = {
-                k: v for k, v in refs.get("branches", {}).items() if k != name
-            }
-            self._write_refs(refs)
-            return head
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                break  # expired fork ancestry: past the staged suffix
+            dropped.append(s)
+            sid = s["parent_id"]
+        # cancel a crashed half-publish of THIS branch before scrubbing:
+        # its journaled log lines are part of the staged record
+        try:
+            intent = fs.read_json(self._publish_intent_path())
+        except (FileNotFoundError, ValueError):
+            intent = None
+        if intent and intent.get("branch") == name:
+            fs.unlink(self._publish_intent_path())
+        for s in dropped:
+            fs.unlink(self._marker_path(s["batch_id"]))
+        drop_ids = {s["snapshot_id"] for s in dropped}
+        if drop_ids:
+            self._filter_batches_log(drop_ids=drop_ids)
+        refs = self._read_refs()
+        refs["branches"] = {
+            k: v for k, v in refs.get("branches", {}).items() if k != name
+        }
+        self._write_refs(refs)
+        return head
 
     # -- manifest segments (Iceberg manifest-list role) ----------------- #
     def _manifest_dir(self) -> str:
@@ -1822,6 +1901,31 @@ class SequenceTable:
                 if s.get("committed_at", 0.0) < cutoff:
                     break
                 keep.append(s)
+        # mutations start here: abort first if our lock was stale-broken
+        # (a waiter may be mid-commit; deleting metadata or scrubbing the
+        # log under it would erase its commit record)
+        if lock is not None:
+            try:
+                lock.verify()
+            except fs.LockLostError as e:
+                raise CommitConflictError(str(e)) from None
+        # ref-TTL sweep FIRST (Iceberg maxRefAge): time-bound tags simply
+        # unpin; time-bound branches are dropped with the full forget
+        # discipline — the pinning below then reasons over survivors only,
+        # so an expired ref stops holding metadata on this very pass
+        now = time.time()
+        refs = self._read_refs()
+        stale_tags = [
+            n for n, v in refs.get("tags", {}).items() if self._ref_expired(v, now)
+        ]
+        if stale_tags:
+            traw = dict(refs.get("tags", {}))
+            for n in stale_tags:
+                traw.pop(n)
+            self._write_refs(dict(refs, tags=traw))
+        for n, v in list(refs.get("branches", {}).items()):
+            if self._ref_expired(v, now):
+                self._drop_branch_locked(n)
         # tagged snapshots are pinned OUTSIDE the retention rule: their
         # descriptors, data dirs and manifest segments all survive, but
         # they do NOT extend ``keep`` (the chain prefix) — once retention
@@ -1843,13 +1947,16 @@ class SequenceTable:
         # descriptors carry the full file set by manifest reference).
         chain_ids = {s["snapshot_id"] for s in chain}
         pinned_ids = keep_ids | {s["snapshot_id"] for s in tagged}
-        for bhead in sorted(self.branches().values()):
-            sid: int | None = bhead
+        for bval in self._read_refs().get("branches", {}).values():
+            sid: int | None = self._ref_sid(bval)
+            fork = self._ref_fork(bval)
             head = True
             # the head is pinned even when it sits ON the main chain (a
             # branch cut from an old snapshot with nothing staged yet must
             # not be bricked by count-based expiry); parents are walked
-            # only through the staged (off-chain) suffix
+            # only through the staged suffix, stopping at the recorded
+            # fork (inclusive) so detached main history BELOW the fork is
+            # not pinned forever
             while sid is not None and (head or sid not in chain_ids) and sid not in pinned_ids:
                 try:
                     s = self.snapshot(sid)
@@ -1857,17 +1964,11 @@ class SequenceTable:
                     break
                 tagged.append(s)
                 pinned_ids.add(sid)
+                if sid == fork:
+                    break
                 sid = s["parent_id"]
                 head = False
         pinned = keep + tagged
-        # mutations start here: abort first if our lock was stale-broken
-        # (a waiter may be mid-commit; deleting metadata or scrubbing the
-        # log under it would erase its commit record)
-        if lock is not None:
-            try:
-                lock.verify()
-            except fs.LockLostError as e:
-                raise CommitConflictError(str(e)) from None
         forgotten = 0
         if forget_batches:
             # sweep-based idempotency GC: drop every marker whose snapshot
@@ -1992,7 +2093,9 @@ class BranchHandle(SequenceTable):
                 f"branch {self.branch_name!r} was dropped while this commit "
                 "was in flight"
             )
-        b[self.branch_name] = sid
+        cur = b[self.branch_name]
+        # preserve the TTL envelope (max_age_s/created_at) across head moves
+        b[self.branch_name] = dict(cur, sid=sid) if isinstance(cur, dict) else sid
         self._write_refs(dict(refs, branches=b))
 
     def _heal_markers(self, unmarked: list[tuple[str, int]]) -> None:

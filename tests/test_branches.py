@@ -269,3 +269,46 @@ def test_crashed_publish_then_drop_scrubs_the_journal(spark, tmp_path, monkeypat
     assert table.latest_snapshot_id() == main_sid
     r = apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id="s0")
     assert not r.noop  # forgotten: the batch applies to main for real
+
+
+def test_ref_ttls_auto_expire(spark, tmp_path):
+    """maxRefAge: a forgotten pin is a retention leak, so time-bound tags
+    unpin and time-bound branches auto-drop (full forget discipline) on
+    the first expiry pass after their age; untimed refs are untouched."""
+    import json
+
+    table, fx, segs = _replayed(spark, tmp_path, n_segments=3, seed=151)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    table.tag("forever")
+    table.tag("short-lived", max_age_s=3600.0)
+    table.create_branch("keep-branch")
+    table.create_branch("stale-branch", max_age_s=3600.0)
+    b = table.branch("stale-branch")
+    apply_batch(spark, b, spark.read.parquet(segs[1]), batch_id="staged")
+    staged_head = b.latest_snapshot_id()
+    apply_batch(spark, table, spark.read.parquet(segs[2]), batch_id=2)
+
+    # TTL'd branch heads move without losing their envelope
+    raw = json.loads(open(table._refs_path()).read())
+    assert raw["branches"]["stale-branch"]["max_age_s"] == 3600.0
+    assert raw["branches"]["stale-branch"]["sid"] == staged_head
+
+    # young refs survive an expiry pass
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert set(table.tags()) == {"forever", "short-lived"}
+    assert set(table.branches()) == {"keep-branch", "stale-branch"}
+
+    # age the TTL'd refs past their budget
+    raw = json.loads(open(table._refs_path()).read())
+    raw["tags"]["short-lived"]["created_at"] -= 10_000.0
+    raw["branches"]["stale-branch"]["created_at"] -= 10_000.0
+    fs.write_json_atomic(table._refs_path(), raw)
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert set(table.tags()) == {"forever"}
+    assert set(table.branches()) == {"keep-branch"}
+    # the dropped branch's staged work is forgotten and reaped
+    assert not fs.exists(table._snap_path(staged_head))
+    r = apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id="staged")
+    assert not r.noop
+    # the untimed tag still pins its (now detached) snapshot
+    assert table.read(spark, "forever").count() > 0

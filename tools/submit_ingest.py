@@ -167,7 +167,8 @@ def cmd_tag(spark, args):
         return {"removed": args.remove, "snapshot_id": t.remove_tag(args.remove)}
     if not args.name:
         raise SystemExit("tag: one of --name, --list, --remove is required")
-    sid = t.tag(args.name, snapshot_id=args.snapshot, replace=args.replace)
+    sid = t.tag(args.name, snapshot_id=args.snapshot, replace=args.replace,
+                max_age_s=args.max_age_s)
     return {"tag": args.name, "snapshot_id": sid}
 
 
@@ -179,7 +180,8 @@ def cmd_branch(spark, args):
         return {"branches": t.branches()}
     if args.create:
         return {"branch": args.create,
-                "snapshot_id": t.create_branch(args.create, at=args.at)}
+                "snapshot_id": t.create_branch(args.create, at=args.at,
+                                               max_age_s=args.max_age_s)}
     if args.drop:
         return {"dropped": args.drop, "head": t.drop_branch(args.drop)}
     if args.publish:
@@ -302,6 +304,9 @@ def parse_args(argv):
     tg.add_argument("--replace", action="store_true")
     tg.add_argument("--list", action="store_true")
     tg.add_argument("--remove", metavar="NAME")
+    tg.add_argument("--max-age-s", type=float, default=None,
+                    help="auto-expire the tag after this age (maxRefAge; "
+                         "unset = pinned until removed)")
 
     br = sub.add_parser("branch", help="create/list/drop/publish branches "
                                        "(write-audit-publish staging)")
@@ -317,6 +322,9 @@ def parse_args(argv):
     br.add_argument("--at", type=_sid_or_ref, default=None,
                     help="branch point for --create: snapshot id or ref "
                          "(default latest)")
+    br.add_argument("--max-age-s", type=float, default=None,
+                    help="auto-drop the branch (forget discipline) after "
+                         "this age (maxRefAge; unset = until dropped)")
 
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
