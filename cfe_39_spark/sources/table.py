@@ -583,8 +583,10 @@ class SequenceTable:
             main = self.latest_snapshot_id()
             if head == main:
                 # retry after a crash between pointer swap and intent
-                # delete: the publish completed — clear the journal
+                # delete: the publish completed — clear the journal and
+                # heal the fork mark (the crash may have hit before it)
                 fs.unlink(self._publish_intent_path())
+                self._mark_published(name, head)
                 return main
             span: list[dict] = []
             sid: int | None = head
@@ -624,8 +626,30 @@ class SequenceTable:
                     f"{s['batch_id']} {s['snapshot_id']}",
                 )
             fs.write_atomic(os.path.join(self.meta_dir, "_LATEST"), str(head))
+            # the span is main history now: move the ref's fork mark up to
+            # the head BEFORE clearing the journal.  Without this the fork
+            # goes stale, and once retention shrinks the chain below the
+            # published head, a later drop_branch would walk PUBLISHED
+            # history as if it were staged work and erase its idempotency
+            # markers (the same marker-erasure class the fork mark exists
+            # to prevent, reachable through the publish path).
+            self._mark_published(name, head)
             fs.unlink(self._publish_intent_path())
             return head
+
+    def _mark_published(self, name: str, head: int) -> None:
+        """Re-point branch ``name``'s ref at ``head`` with fork == head
+        (nothing staged).  Caller holds the commit mutex."""
+        refs = self._read_refs()
+        b = dict(refs.get("branches", {}))
+        cur = b.get(name)
+        if cur is None:
+            return
+        env = cur if isinstance(cur, dict) else {}
+        if env.get("sid") == head and env.get("fork") == head:
+            return
+        b[name] = dict(env, sid=head, fork=head)
+        self._write_refs(dict(refs, branches=b))
 
     def _publish_intent_path(self) -> str:
         return os.path.join(self.meta_dir, "_PUBLISH_INTENT")
@@ -866,6 +890,17 @@ class SequenceTable:
             merged_entries.extend(self._load_manifest(r))
         keep = srt[n_merge:]
         return keep + [self._write_manifest(sid, merged_entries)]
+
+    def inspect(
+        self, spark, view: str, at: "int | str | None" = None
+    ) -> "Any":
+        """Metadata inspection tables (Iceberg's snapshots / history /
+        refs / manifests / files metadata-table role) as DataFrames —
+        see ``sources/inspect.py`` for each view's schema and scale
+        discipline.  ``at`` (manifests/files only): snapshot id or ref."""
+        from . import inspect as _inspect
+
+        return _inspect.inspect_df(spark, self, view, at)
 
     def committed_chain(self) -> list[dict[str, Any]]:
         """Snapshots reachable from _LATEST via parent links (committed only —

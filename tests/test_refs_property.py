@@ -40,14 +40,38 @@ def _fresh_table(tmpdir: str) -> SequenceTable:
     return t
 
 
-# op vocabulary: small id pools force replays, conflicts and re-commits
+def test_drop_after_publish_and_expiry_keeps_published_markers(tmp_path):
+    """Regression: publishing must move the ref's fork mark to the head.
+    With a stale fork, the sequence publish -> main advances -> expiry
+    shrinks the chain below the published head -> drop_branch walked the
+    published span as if it were staged work and DELETED its idempotency
+    markers — erasing replay suppression for main history."""
+    t = _fresh_table(str(tmp_path))
+    t.create_branch("a")
+    staged_sid = t.branch("a").commit("c1", [], PARENT_FILES)
+    assert t.fast_forward("a") == staged_sid  # c1 is main history now
+    t.commit("m1", [], PARENT_FILES)
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    t.drop_branch("a")
+    # the published batch's marker must survive the drop: a replay of c1
+    # is a duplicate delivery, not new work
+    assert t.find_batch("c1") == staged_sid
+
+
+# op vocabulary: small id pools force replays, conflicts and re-commits.
+# TTL'd refs are created with a 1h budget (never expires inside a test
+# run) and aged deterministically by rewriting created_at — "age" marks a
+# ref stale, the next "expire" must sweep it.
 OPS = st.lists(
     st.one_of(
         st.tuples(st.just("main"), st.integers(0, 5)),
-        st.tuples(st.just("bcreate"), st.sampled_from(["a", "b"])),
+        st.tuples(st.just("bcreate"), st.sampled_from(["a", "b"]), st.booleans()),
         st.tuples(st.just("bcommit"), st.sampled_from(["a", "b"]), st.integers(0, 5)),
         st.tuples(st.just("publish"), st.sampled_from(["a", "b"])),
         st.tuples(st.just("drop"), st.sampled_from(["a", "b"])),
+        st.tuples(st.just("tag"), st.sampled_from(["t0", "t1", "t2"]), st.booleans()),
+        st.tuples(st.just("untag"), st.sampled_from(["t0", "t1", "t2"])),
+        st.tuples(st.just("age"), st.sampled_from(["t0", "t1", "t2", "a", "b"])),
         st.tuples(st.just("rollback"), st.integers(0, 3)),
         st.tuples(st.just("expire"), st.booleans()),
         st.tuples(st.just("recover"), st.just(0)),
@@ -71,13 +95,19 @@ def test_refs_layer_matches_model(tmp_path_factory, ops):
     tip = 1
     chain = [("__create__", 1)]          # retained main chain, oldest first
     applied: dict[str, int] = {"__create__": 1}   # find_batch view
-    branches: dict[str, dict] = {}       # name -> {fork: sid, staged: [(bid, sid)]}
+    branches: dict[str, dict] = {}       # name -> {fork, staged, ttl, stale}
+    tags: dict[str, dict] = {}           # name -> {sid, ttl, stale}
 
     def heads():
         return {
             n: (b["staged"][-1][1] if b["staged"] else b["fork"])
             for n, b in branches.items()
         }
+
+    def model_drop(name):
+        for bid, _ in branches[name]["staged"]:
+            applied.pop(bid, None)
+        del branches[name]
 
     for op in ops:
         kind = op[0]
@@ -91,13 +121,17 @@ def test_refs_layer_matches_model(tmp_path_factory, ops):
                 chain.append((bid, sid))
                 tip = sid
         elif kind == "bcreate":
-            name = op[1]
+            name, ttl = op[1], op[2]
             if name in branches:
                 with pytest.raises(ValueError, match="already exists"):
                     t.create_branch(name)
             else:
-                assert t.create_branch(name) == tip
-                branches[name] = {"fork": tip, "staged": []}
+                assert t.create_branch(
+                    name, max_age_s=3600.0 if ttl else None
+                ) == tip
+                branches[name] = {
+                    "fork": tip, "staged": [], "ttl": ttl, "stale": False,
+                }
         elif kind == "bcommit":
             name, k = op[1], op[2]
             if name not in branches:
@@ -134,9 +168,36 @@ def test_refs_layer_matches_model(tmp_path_factory, ops):
                     t.drop_branch(name)
                 continue
             t.drop_branch(name)
-            for bid, _ in branches[name]["staged"]:
-                applied.pop(bid, None)
-            del branches[name]
+            model_drop(name)
+        elif kind == "tag":
+            name, ttl = op[1], op[2]
+            if name in tags and tags[name]["sid"] != tip:
+                with pytest.raises(ValueError, match="already points"):
+                    t.tag(name)
+            else:
+                # same-sid re-tag is idempotent and REWRITES the envelope
+                assert t.tag(name, max_age_s=3600.0 if ttl else None) == tip
+                tags[name] = {"sid": tip, "ttl": ttl, "stale": False}
+        elif kind == "untag":
+            name = op[1]
+            if name not in tags:
+                with pytest.raises(KeyError):
+                    t.remove_tag(name)
+            else:
+                assert t.remove_tag(name) == tags.pop(name)["sid"]
+        elif kind == "age":
+            # deterministic aging: rewrite created_at past the 1h budget;
+            # a no-op for missing or untimed refs
+            name = op[1]
+            if not fs.exists(t._refs_path()):
+                continue
+            refs = fs.read_json(t._refs_path())
+            for sect, model in (("tags", tags), ("branches", branches)):
+                v = refs.get(sect, {}).get(name)
+                if isinstance(v, dict) and v.get("max_age_s") is not None:
+                    v["created_at"] = v.get("created_at", 0.0) - 10_000.0
+                    fs.write_json_atomic(t._refs_path(), refs)
+                    model[name]["stale"] = True
         elif kind == "rollback":
             idx = min(op[1], len(chain) - 1)
             target_bid, target_sid = chain[idx]
@@ -157,9 +218,16 @@ def test_refs_layer_matches_model(tmp_path_factory, ops):
             forget = op[1]
             t.expire_snapshots(keep_last=1, orphan_grace_s=0.0,
                                forget_batches=forget)
+            # ref-TTL sweep runs first: aged tags unpin, aged branches are
+            # dropped with the forget discipline (regardless of the flag)
+            for n in [n for n, r in tags.items() if r["ttl"] and r["stale"]]:
+                del tags[n]
+            for n in [n for n, b in branches.items()
+                      if b["ttl"] and b["stale"]]:
+                model_drop(n)
             chain = chain[-1:]
             if forget:
-                retained = {tip}
+                retained = {tip} | {r["sid"] for r in tags.values()}
                 for b in branches.values():
                     retained |= {sid for _, sid in b["staged"]}
                     if not b["staged"]:
@@ -182,6 +250,7 @@ def test_refs_layer_matches_model(tmp_path_factory, ops):
         # --- invariants after EVERY op ------------------------------- #
         assert t.latest_snapshot_id() == tip
         assert t.branches() == heads()
+        assert t.tags() == {n: r["sid"] for n, r in tags.items()}
         assert [s["batch_id"] for s in t.committed_chain()] == [
             bid for bid, _ in reversed(chain)
         ]

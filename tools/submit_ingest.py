@@ -210,6 +210,19 @@ def cmd_show(spark, args):
     }
 
 
+def cmd_inspect(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    df = t.inspect(spark, args.view, at=args.at)
+    rows = df.limit(args.limit).collect()  # bounded by --limit, never full
+    return {
+        "view": args.view,
+        "rows": [r.asDict(recursive=True) for r in rows],
+        "truncated": len(rows) == args.limit,
+    }
+
+
 def _sid_or_ref(v: str):
     """Snapshot selector: a bare integer id, or a tag name (the library
     resolves names via ``SequenceTable.resolve_ref``)."""
@@ -329,6 +342,19 @@ def parse_args(argv):
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
 
+    ins = sub.add_parser("inspect", help="metadata tables (Iceberg "
+                                         "snapshots/history/refs/manifests/"
+                                         "files role)")
+    ins.add_argument("--table", required=True)
+    ins.add_argument("--view", required=True,
+                     choices=["snapshots", "history", "refs", "manifests",
+                              "files"])
+    ins.add_argument("--at", type=_sid_or_ref, default=None,
+                     help="snapshot id or ref (manifests/files; default "
+                          "latest)")
+    ins.add_argument("--limit", type=int, default=100,
+                     help="max rows printed (default 100)")
+
     return p.parse_args(argv)
 
 
@@ -344,6 +370,7 @@ COMMANDS = {
     "tag": cmd_tag,
     "branch": cmd_branch,
     "show": cmd_show,
+    "inspect": cmd_inspect,
 }
 
 
