@@ -85,7 +85,7 @@ _FILE_ENTRY_SCHEMA = T.StructType([
 ])
 
 
-def _snapshot_row(table: "SequenceTable", s: dict, on_chain: bool) -> tuple:
+def _snapshot_row(s: dict, on_chain: bool) -> tuple:
     refs = s.get("manifests")
     if refs is None:  # v1 inline-descriptor snapshot
         files = s.get("files", [])
@@ -125,7 +125,7 @@ def snapshots_df(spark: "SparkSession", table: "SequenceTable") -> "DataFrame":
             s = fs.read_json(os.path.join(table.meta_dir, f))
         except (FileNotFoundError, ValueError):
             continue  # torn/concurrent write: skip, never fail the view
-        rows.append(_snapshot_row(table, s, s["snapshot_id"] in chain_ids))
+        rows.append(_snapshot_row(s, s["snapshot_id"] in chain_ids))
     return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
 
 

@@ -584,8 +584,16 @@ class SequenceTable:
             if head == main:
                 # retry after a crash between pointer swap and intent
                 # delete: the publish completed — clear the journal and
-                # heal the fork mark (the crash may have hit before it)
-                fs.unlink(self._publish_intent_path())
+                # heal the fork mark (the crash may have hit before it).
+                # Only THIS branch's journal: a pending intent from a
+                # DIFFERENT branch's crashed publish is still protecting
+                # pointer recovery from adopting that unpublished span.
+                try:
+                    intent = fs.read_json(self._publish_intent_path())
+                except (FileNotFoundError, ValueError):
+                    intent = None
+                if intent and intent.get("branch") == name:
+                    fs.unlink(self._publish_intent_path())
                 self._mark_published(name, head)
                 return main
             span: list[dict] = []
@@ -637,6 +645,37 @@ class SequenceTable:
             fs.unlink(self._publish_intent_path())
             return head
 
+    def _resolve_publish_intent(self) -> None:
+        """Finish a publish that crashed between the pointer swap and the
+        journal delete.  Caller holds the commit mutex.
+
+        If a pending intent's head is reachable from the current main tip,
+        the swap happened — the publish COMPLETED — so heal the branch's
+        fork mark and clear the journal.  Without this, the stale fork
+        survives until a ``fast_forward`` retry that nothing forces: an
+        expiry pass could detach the published head from the chain first,
+        after which ``drop_branch`` (or the ref-TTL sweep) would walk the
+        PUBLISHED span as staged work and erase its idempotency markers.
+        Run at the top of every operation that scrubs markers (drop,
+        expiry) — ancestry is still intact there, so the completed/crashed
+        ambiguity is decidable.  An unreachable head means the swap never
+        happened: leave the intent for retry/cancel."""
+        try:
+            intent = fs.read_json(self._publish_intent_path())
+        except (FileNotFoundError, ValueError):
+            return
+        head = int(intent.get("head", -1))
+        sid: int | None = self.latest_snapshot_id()
+        while sid is not None:
+            if sid == head:
+                self._mark_published(str(intent.get("branch")), head)
+                fs.unlink(self._publish_intent_path())
+                return
+            try:
+                sid = self.snapshot(sid)["parent_id"]
+            except FileNotFoundError:
+                return
+
     def _mark_published(self, name: str, head: int) -> None:
         """Re-point branch ``name``'s ref at ``head`` with fork == head
         (nothing staged).  Caller holds the commit mutex."""
@@ -686,6 +725,10 @@ class SequenceTable:
         the main chain, the detached fork snapshot is main history whose
         batch really applied — erasing its marker would break replay
         suppression for published state."""
+        # finish a crashed-but-completed publish FIRST: it may be this
+        # branch's, and its healed fork mark is what stops the walk below
+        # from treating published history as staged work
+        self._resolve_publish_intent()
         braw = self._read_refs().get("branches", {})
         if name not in braw:
             raise KeyError(f"no branch named {name!r}")
@@ -697,8 +740,14 @@ class SequenceTable:
             if n2 == name:
                 continue
             sid2: int | None = self._ref_sid(v2)
-            fork2 = self._ref_fork(v2)
-            while sid2 is not None and sid2 != fork2 and sid2 not in main_ids:
+            # the sibling walk must NOT stop at the sibling's fork: a
+            # sibling cut from THIS branch's staged suffix has fork ==
+            # head == a shared staged snapshot, and stopping there would
+            # let the drop below erase a marker the sibling still
+            # references.  Extra ids in ``other`` only ever PREVENT
+            # deletions, so walking all the way to main (or a missing
+            # descriptor) is always safe.
+            while sid2 is not None and sid2 not in main_ids:
                 try:
                     s2 = self.snapshot(sid2)
                 except FileNotFoundError:
@@ -1944,6 +1993,11 @@ class SequenceTable:
                 lock.verify()
             except fs.LockLostError as e:
                 raise CommitConflictError(str(e)) from None
+        # finish a crashed-but-completed publish while chain ancestry is
+        # still intact: after this pass detaches the published head, the
+        # completed/crashed ambiguity becomes undecidable and a stale fork
+        # mark would let a later drop erase published markers
+        self._resolve_publish_intent()
         # ref-TTL sweep FIRST (Iceberg maxRefAge): time-bound tags simply
         # unpin; time-bound branches are dropped with the full forget
         # discipline — the pinning below then reasons over survivors only,

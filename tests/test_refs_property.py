@@ -58,6 +58,61 @@ def test_drop_after_publish_and_expiry_keeps_published_markers(tmp_path):
     assert t.find_batch("c1") == staged_sid
 
 
+def test_drop_keeps_markers_shared_with_sibling_forked_from_staged(tmp_path):
+    """Regression: the sibling-protection walk must not stop at the
+    sibling's fork.  A sibling cut FROM this branch's staged suffix has
+    fork == a shared staged snapshot; stopping there let drop_branch
+    erase a marker the sibling still references, so a redelivery of that
+    batch to the sibling would re-apply instead of no-op."""
+    t = _fresh_table(str(tmp_path))
+    t.create_branch("a")
+    x = t.branch("a").commit("c1", [], PARENT_FILES)
+    t.create_branch("b", at=x)  # b shares a's staged snapshot x
+    y = t.branch("b").commit("c2", [], PARENT_FILES)
+    t.drop_branch("a")
+    assert t.find_batch("c1") == x  # still suppressed: b references x
+    assert t.branches()["b"] == y
+    assert t.branch("b").commit("c1", [], PARENT_FILES) == x  # no-op
+
+
+def test_crashed_publish_resolves_before_drop_or_expiry(tmp_path):
+    """Regression: a publish that crashed between the pointer swap and
+    the journal delete left a stale fork mark; once expiry detached the
+    published head, drop walked the PUBLISHED span and erased its
+    markers.  Expiry/drop now finish the completed publish first."""
+    t = _fresh_table(str(tmp_path))
+    t.create_branch("a")
+    s1 = t.branch("a").commit("c1", [], PARENT_FILES)
+    head = t.fast_forward("a")
+    # reconstruct the crash window: journal back on disk, fork reverted
+    fs.write_json_atomic(t._publish_intent_path(),
+                         {"branch": "a", "head": head, "span": [s1]})
+    refs = fs.read_json(t._refs_path())
+    refs["branches"]["a"]["fork"] = 1
+    fs.write_json_atomic(t._refs_path(), refs)
+    t.commit("m1", [], PARENT_FILES)
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert not fs.exists(t._publish_intent_path())  # resolved, not orphaned
+    t.drop_branch("a")
+    assert t.find_batch("c1") == s1  # published marker survives the drop
+
+
+def test_publish_of_other_branch_keeps_foreign_intent(tmp_path):
+    """Regression: fast_forward's head==main early return must only clear
+    its OWN branch's journal — a pending intent from a different branch's
+    crashed (incomplete) publish is what stops pointer recovery from
+    adopting that unpublished span."""
+    t = _fresh_table(str(tmp_path))
+    t.create_branch("a")
+    sa = t.branch("a").commit("c1", [], PARENT_FILES)
+    # crashed INCOMPLETE publish of a: journal on disk, pointer unmoved
+    fs.write_json_atomic(t._publish_intent_path(),
+                         {"branch": "a", "head": sa, "span": [sa]})
+    t.create_branch("b")  # nothing staged: head == main
+    assert t.fast_forward("b") == t.latest_snapshot_id()
+    assert fs.exists(t._publish_intent_path())  # a's journal untouched
+
+
 # op vocabulary: small id pools force replays, conflicts and re-commits.
 # TTL'd refs are created with a 1h budget (never expires inside a test
 # run) and aged deterministically by rewriting created_at — "age" marks a
@@ -225,13 +280,19 @@ def test_refs_layer_matches_model(tmp_path_factory, ops):
             for n in [n for n, b in branches.items()
                       if b["ttl"] and b["stale"]]:
                 model_drop(n)
+            chain_ids = {sid for _, sid in chain}  # pre-trim: the pass's view
             chain = chain[-1:]
             if forget:
                 retained = {tip} | {r["sid"] for r in tags.values()}
                 for b in branches.values():
                     retained |= {sid for _, sid in b["staged"]}
-                    if not b["staged"]:
-                        retained.add(b["fork"])  # pinned on-chain head
+                    # the real pin walk keeps the head even on-chain
+                    # (empty branch: head == fork) and, for a staged
+                    # branch, pins the fork INCLUSIVELY when it is
+                    # already detached from this pass's chain (kept
+                    # alive earlier by a tag since removed, etc.)
+                    if not b["staged"] or b["fork"] not in chain_ids:
+                        retained.add(b["fork"])
                 applied = {k: v for k, v in applied.items() if v in retained}
         elif kind == "recover":
             # pointer-loss recovery must land on the model's main tip

@@ -215,11 +215,11 @@ def cmd_inspect(spark, args):
 
     t = SequenceTable(args.table)
     df = t.inspect(spark, args.view, at=args.at)
-    rows = df.limit(args.limit).collect()  # bounded by --limit, never full
+    rows = df.limit(args.limit + 1).collect()  # +1 probe: exact truncation
     return {
         "view": args.view,
-        "rows": [r.asDict(recursive=True) for r in rows],
-        "truncated": len(rows) == args.limit,
+        "rows": [r.asDict(recursive=True) for r in rows[: args.limit]],
+        "truncated": len(rows) > args.limit,
     }
 
 
@@ -346,9 +346,9 @@ def parse_args(argv):
                                          "snapshots/history/refs/manifests/"
                                          "files role)")
     ins.add_argument("--table", required=True)
-    ins.add_argument("--view", required=True,
-                     choices=["snapshots", "history", "refs", "manifests",
-                              "files"])
+    from cfe_39_spark.sources.inspect import VIEWS  # single source of truth
+
+    ins.add_argument("--view", required=True, choices=list(VIEWS))
     ins.add_argument("--at", type=_sid_or_ref, default=None,
                      help="snapshot id or ref (manifests/files; default "
                           "latest)")
