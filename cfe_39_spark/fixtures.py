@@ -210,12 +210,20 @@ def segment_events(
     return out
 
 
-def expected_state(initial: pa.Table, events: list[dict]) -> pd.DataFrame:
+def expected_state(
+    initial: pa.Table, events: list[dict], keep_meta: bool = False
+) -> pd.DataFrame:
     """The oracle: pure-pandas/python fold, no Spark.
 
     Returns the user-facing final state (live rows only), sorted by doc_id,
     tokens as numpy int32 arrays.  Columns = initial schema + any
     evolution-added columns observed in the events.
+
+    ``keep_meta=True`` keeps tombstoned keys AND the internal fold state
+    (``_et``/``_off``/``_sp``/``_deleted``) — the winner's LWW triple —
+    so a test can diff two fold points by the exact ordering rule the
+    engine's changelog classifier uses (``read_changelog``), not by value
+    equality.
     """
     extra_cols: list[str] = []
     base_cols = {"op", "doc_id", "tokens", "n_tok", "source", "offset",
@@ -284,6 +292,13 @@ def expected_state(initial: pa.Table, events: list[dict]) -> pd.DataFrame:
         for r in state.values()
         if not r["_deleted"]
     ]
+    if keep_meta:
+        df = pd.DataFrame(
+            list(state.values()),
+            columns=["doc_id", "tokens", "n_tok", "source", *extra_cols,
+                     "_et", "_off", "_sp", "_deleted"],
+        )
+        return df.sort_values("doc_id").reset_index(drop=True)
     df = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source", *extra_cols])
     return df.sort_values("doc_id").reset_index(drop=True)
 

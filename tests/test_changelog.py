@@ -145,3 +145,143 @@ def test_changelog_two_hop_mirror_chain(spark, tmp_path):
     assert_state_equal(a.read(spark), fx["expected"])
     assert_state_equal(b.read(spark), fx["expected"])
     assert_state_equal(c.read(spark), fx["expected"])
+
+
+# --------------------------------------------------------------------- #
+# read_changelog: the NET diff view with before-images (Iceberg
+# changelog-view semantics: insert / update_before+update_after / delete)
+# --------------------------------------------------------------------- #
+
+
+def _fold_diff(fx, tmp_path, cut_seg):
+    """Pandas oracle for read_changelog: fold the event stream to the cut
+    and to the end (keeping the LWW triple), then classify every key by
+    the SAME triple rule the engine uses."""
+    import pyarrow.parquet as papq
+
+    from cfe_39_spark.fixtures import expected_state
+
+    initial = papq.read_table(str(tmp_path / "fx" / "initial.parquet"))
+    ev_a = [e for e in fx["events"] if e["_seg"] < cut_seg]
+    fa = expected_state(initial, ev_a, keep_meta=True).set_index("doc_id")
+    fb = expected_state(initial, fx["events"], keep_meta=True).set_index("doc_id")
+    expected = {}  # doc_id -> list of (change_type, image_source_fold)
+    for k in fb.index:  # fold state only grows: fb's keys are a superset
+        b_row = fa.loc[k] if k in fa.index else None
+        a_row = fb.loc[k]
+        b_live = b_row is not None and not b_row["_deleted"]
+        a_live = not a_row["_deleted"]
+        tri = lambda r: (r["_et"], r["_off"], r["_sp"])  # noqa: E731
+        if a_live and not b_live:
+            expected[k] = [("insert", a_row)]
+        elif a_live and b_live and tri(a_row) != tri(b_row):
+            expected[k] = [("update_before", b_row), ("update_after", a_row)]
+        elif not a_live and b_live and tri(a_row) != tri(b_row):
+            expected[k] = [("delete", b_row)]
+    return expected
+
+
+def _check_diff(got_rows, expected):
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["doc_id"], []).append(r)
+    assert set(got) == set(expected), (
+        sorted(set(got) ^ set(expected))[:10])
+    for k, exp_events in expected.items():
+        rows = sorted(got[k], key=lambda r: r["_change_type"])
+        exp_sorted = sorted(exp_events, key=lambda e: e[0])
+        assert [r["_change_type"] for r in rows] == [e[0] for e in exp_sorted], k
+        for r, (_, img) in zip(rows, exp_sorted):
+            assert r["n_tok"] == (None if img["n_tok"] is None else int(img["n_tok"])), k
+            if img["tokens"] is None:
+                assert r["tokens"] is None, k
+            else:
+                assert list(r["tokens"]) == list(img["tokens"]), k
+            assert r["source"] == img["source"], k
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_read_changelog_matches_fold_diff(spark, tmp_path, mode):
+    """Net-diff classification (insert / update pair / delete with before
+    image) must equal a pandas two-point fold diff under the exact LWW
+    triple rule, in both write modes, with hot keys, redeliveries and
+    deletes in the span."""
+    cfg = GenConfig(n_docs_initial=30, n_events=200, n_segments=6, dup_rate=0.2,
+                    key_dist="hot", shuffle_within_segments=True, seed=91)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    cut = 3
+    for i, seg in enumerate(segs[:cut]):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i, mode=mode)
+    from_sid = t.latest_snapshot_id()
+    for i, seg in enumerate(segs[cut:], start=cut):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i, mode=mode)
+    got = t.read_changelog(spark, from_sid).collect()
+    _check_diff(got, _fold_diff(fx, tmp_path, cut))
+
+
+def test_read_changelog_from_zero_is_all_inserts(spark, tmp_path):
+    """from=0 (bootstrap) has no before state: every live key is one
+    insert equal to the final table state; tombstoned keys emit nothing."""
+    cfg = GenConfig(n_docs_initial=15, n_events=80, n_segments=2, seed=93)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    for i, seg in enumerate(sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+    cl = t.read_changelog(spark, 0)
+    assert cl.select("_change_type").distinct().collect() == [("insert",)] or \
+        set(r["_change_type"] for r in cl.select("_change_type").distinct().collect()) == {"insert"}
+    user_cols = ["doc_id", "tokens", "n_tok", "source"]
+    assert_state_equal(cl.select(user_cols), fx["expected"][user_cols])
+
+
+def test_read_changelog_stale_redelivery_emits_nothing(spark, tmp_path):
+    """A span whose only traffic is an event OLDER than the key's winner
+    appears in read_changes (redelivery-tolerant raw feed) but must NOT
+    appear in read_changelog: the net winner did not advance, so a
+    downstream aggregate maintainer has nothing to retract or apply."""
+    import datetime
+
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "op string, offset long, src_partition int, epoch long, "
+              "schema_version int, event_time timestamp")
+    t2024 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t2023 = datetime.datetime(2023, 1, 1, 12, 0, 0)
+    t = SequenceTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(spark, t, spark.createDataFrame(
+        [("d1", [1, 2], 2, "new", "U", 7, 0, 0, 1, t2024)], schema),
+        batch_id=0, mode="mor", compact_threshold=None)
+    pre = t.latest_snapshot_id()
+    apply_batch(spark, t, spark.createDataFrame(
+        [("d1", [9], 1, "old", "U", 3, 0, 0, 1, t2023)], schema),
+        batch_id=1, mode="mor", compact_threshold=None)
+    assert t.read_changes(spark, pre).count() == 1  # raw feed: redelivery visible
+    assert t.read_changelog(spark, pre).count() == 0  # net diff: winner unchanged
+    got = t.read(spark).collect()
+    assert len(got) == 1 and got[0]["source"] == "new"
+
+
+def test_read_changelog_images_use_to_schema(spark, tmp_path):
+    """Schema evolution mid-span: before images predate the added column,
+    so they carry it as NULL, reconciled to the TO snapshot's schema —
+    the same read-side evolution rule every other read path follows."""
+    cfg = GenConfig(n_docs_initial=12, n_events=80, n_segments=4, seed=95,
+                    evolution=[(2, {"action": "add_column", "name": "quality"})])
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    for i, seg in enumerate(segs[:2]):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+    from_sid = t.latest_snapshot_id()
+    for i, seg in enumerate(segs[2:], start=2):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+    cl = t.read_changelog(spark, from_sid)
+    assert "quality" in cl.columns  # to-schema everywhere
+    before = cl.filter("_change_type in ('update_before', 'delete')")
+    assert before.count() > 0
+    assert before.filter("quality is not null").count() == 0
+    _check_diff(cl.collect(), _fold_diff(fx, tmp_path, 2))

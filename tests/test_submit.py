@@ -58,6 +58,15 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
                 "--net", "--out", out)
     assert r["rows"] > 0
 
+    out_diff = str(tmp_path / "changes-diff")
+    r = run_cli(capsys, "changes", "--table", table, "--from-snapshot", "1",
+                "--diff", "--out", out_diff)
+    assert r["rows"] > 0
+    kinds = {row["_change_type"]
+             for row in spark.read.parquet(out_diff).collect()}
+    assert kinds <= {"insert", "update_before", "update_after", "delete"}
+    assert "insert" in kinds or "update_after" in kinds
+
     r = run_cli(capsys, "compact", "--table", table)
     assert r["compacted"] in (True, False)
 

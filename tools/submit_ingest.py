@@ -101,8 +101,13 @@ def cmd_changes(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
     t = SequenceTable(args.table)
-    ch = t.read_changes(spark, args.from_snapshot, args.to_snapshot,
-                        net=args.net)
+    if args.diff:
+        # Iceberg-changelog-view shape: net classification with before
+        # images (insert / update_before+update_after / delete)
+        ch = t.read_changelog(spark, args.from_snapshot, args.to_snapshot)
+    else:
+        ch = t.read_changes(spark, args.from_snapshot, args.to_snapshot,
+                            net=args.net)
     ch.write.mode("overwrite").parquet(args.out)
     return {"out": args.out, "rows": spark.read.parquet(args.out).count()}
 
@@ -274,6 +279,9 @@ def parse_args(argv):
     c.add_argument("--from-snapshot", type=_sid_or_ref, required=True)
     c.add_argument("--to-snapshot", type=_sid_or_ref, default=None)
     c.add_argument("--net", action="store_true")
+    c.add_argument("--diff", action="store_true",
+                   help="net diff with before images (insert/update_before/"
+                        "update_after/delete) instead of the raw feed")
     c.add_argument("--out", required=True)
 
     m = sub.add_parser("mirror", help="tail another table's change feed")
