@@ -285,3 +285,40 @@ def test_read_changelog_images_use_to_schema(spark, tmp_path):
     assert before.count() > 0
     assert before.filter("quality is not null").count() == 0
     _check_diff(cl.collect(), _fold_diff(fx, tmp_path, 2))
+
+
+def test_read_changelog_drives_incremental_aggregate(spark, tmp_path):
+    """The consumer the diff view exists for: maintain SUM(n_tok) and
+    COUNT(*) per source INCREMENTALLY from read_changelog spans —
+    update_before/delete retract, update_after/insert apply — and the
+    running aggregate must equal a full recompute at every cursor stop.
+    The raw feed cannot do this (redeliveries would double-count); the
+    diff view's net classification is exactly what makes it correct."""
+    import pyspark.sql.functions as F
+
+    cfg = GenConfig(n_docs_initial=25, n_events=180, n_segments=6, dup_rate=0.25,
+                    key_dist="hot", shuffle_within_segments=True, seed=101)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+
+    def full_recompute():
+        return {
+            r["source"]: (r["s"], r["c"])
+            for r in t.read(spark).groupBy("source")
+            .agg(F.sum("n_tok").alias("s"), F.count("*").alias("c")).collect()
+        }
+
+    agg = dict(full_recompute())  # bootstrap at the initial snapshot
+    cursor = t.latest_snapshot_id()
+    for i, seg in enumerate(segs):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i, mode="mor")
+        head = t.latest_snapshot_id()
+        for r in t.read_changelog(spark, cursor, head).collect():
+            sign = 1 if r["_change_type"] in ("insert", "update_after") else -1
+            s, c = agg.get(r["source"], (0, 0))
+            agg[r["source"]] = (s + sign * r["n_tok"], c + sign)
+        cursor = head
+        agg = {k: v for k, v in agg.items() if v[1] != 0}
+        assert agg == full_recompute(), f"diverged after segment {i}"
