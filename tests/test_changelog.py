@@ -322,3 +322,42 @@ def test_read_changelog_drives_incremental_aggregate(spark, tmp_path):
         cursor = head
         agg = {k: v for k, v in agg.items() if v[1] != 0}
         assert agg == full_recompute(), f"diverged after segment {i}"
+
+
+def test_read_changelog_prunes_to_touched_buckets(spark, tmp_path, monkeypatch):
+    """The O(touched-buckets) claim, tested: with 16 buckets and a span
+    that updates ONE key, the endpoint image reads must open only files
+    of that key's bucket — never the whole table."""
+    from cfe_39_spark.sources.table import bucket_expr
+
+    cfg = GenConfig(n_docs_initial=200, n_events=0, n_segments=1, seed=103)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=16)
+    import datetime
+
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "op string, offset long, src_partition int, epoch long, "
+              "schema_version int, event_time timestamp")
+    apply_batch(spark, t, spark.createDataFrame(
+        [("doc-00000007", [1, 2, 3], 3, "web", "U", 1, 0, 0, 1,
+          datetime.datetime(2024, 6, 1))], schema),
+        batch_id="one-key", mode="mor", compact_threshold=None)
+    [target_bucket] = [
+        r["_b"] for r in spark.createDataFrame([("doc-00000007",)], "doc_id string")
+        .select(bucket_expr("doc_id", 16).alias("_b")).collect()
+    ]
+    seen = []
+    orig = SequenceTable._read_files
+
+    def spy(self, spark_, snap, files, user_schema=None):
+        seen.append([e["bucket"] for e in files])
+        return orig(self, spark_, snap, files, user_schema=user_schema)
+
+    monkeypatch.setattr(SequenceTable, "_read_files", spy)
+    got = t.read_changelog(spark, 1).collect()
+    assert {r["_change_type"] for r in got} == {"update_before", "update_after"}
+    endpoint_reads = [b for b in seen if b]  # the two endpoint image reads
+    assert len(endpoint_reads) >= 2
+    for buckets in endpoint_reads:
+        assert set(buckets) == {target_bucket}, buckets
