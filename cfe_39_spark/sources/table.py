@@ -1731,10 +1731,11 @@ class SequenceTable:
         user_cols = [f.name for f in user.fields]
         img_cols = [c for c in user_cols if c != "doc_id"]
         ord_cols = ["_last_event_time", "_last_offset", "_last_src_partition"]
+        bk = {f.name: f for f in BOOKKEEPING_FIELDS}
         out_schema = T.StructType(
             [f for f in user.fields if f.name == "doc_id"]
             + [f for f in user.fields if f.name != "doc_id"]
-            + [f for f in BOOKKEEPING_FIELDS if f.name in ord_cols]
+            + [bk[c] for c in ord_cols]  # same order as the non-empty path
             + [T.StructField("_change_type", T.StringType())]
         )
         if from_snapshot_id == 0:

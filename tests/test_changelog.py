@@ -361,3 +361,18 @@ def test_read_changelog_prunes_to_touched_buckets(spark, tmp_path, monkeypatch):
     assert len(endpoint_reads) >= 2
     for buckets in endpoint_reads:
         assert set(buckets) == {target_bucket}, buckets
+
+
+def test_read_changelog_empty_span_is_typed_empty(spark, tmp_path):
+    """from == head: no changed keys — the result is an EMPTY DataFrame
+    with the full output schema (user cols + ordering triple +
+    _change_type), not an inference crash."""
+    cfg = GenConfig(n_docs_initial=10, n_events=0, n_segments=1, seed=105)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=2)
+    cl = t.read_changelog(spark, t.latest_snapshot_id())
+    assert cl.count() == 0
+    assert cl.columns == ["doc_id", "tokens", "n_tok", "source",
+                          "_last_event_time", "_last_offset",
+                          "_last_src_partition", "_change_type"]
