@@ -421,6 +421,32 @@ class SequenceTable:
             f"no ref named {name!r} (tags: {sorted(t)}, branches: {sorted(b)})"
         )
 
+    def snapshot_as_of(self, ts: float) -> int:
+        """Iceberg's ``TIMESTAMP AS OF``: the snapshot id whose state was
+        current at wall-clock ``ts`` — the newest chain snapshot with
+        ``committed_at <= ts``.  Candidates are ordered by CHAIN POSITION,
+        not by raw timestamp, so a backwards clock step between commits
+        (the skew the retention path already defends against) cannot make
+        time travel non-deterministic: the rule is "the last snapshot
+        committed at-or-before ``ts`` in commit order".
+
+        Raises ``KeyError`` when ``ts`` precedes every retained snapshot —
+        that state has been expired, and the caller must re-bootstrap from
+        a current read (the same contract as an expired changelog cursor).
+        Cost: O(retained chain) driver-side metadata reads, no data I/O.
+        """
+        chain = self.committed_chain()  # newest -> oldest
+        for s in chain:
+            if float(s.get("committed_at", 0.0)) <= ts:
+                return int(s["snapshot_id"])
+        oldest = chain[-1]
+        raise KeyError(
+            f"no snapshot at or before ts={ts}: oldest retained snapshot "
+            f"{oldest['snapshot_id']} was committed at "
+            f"{oldest.get('committed_at')} — earlier state has been "
+            "expired; re-bootstrap from a current read"
+        )
+
     def tag(
         self,
         name: str,
@@ -1504,8 +1530,26 @@ class SequenceTable:
             out = out.unionByName(self._read_files(spark, snap, clean))
         return out
 
-    def read(self, spark: SparkSession, snapshot_id: "int | str | None" = None) -> DataFrame:
-        """User-facing read: live rows, user columns only."""
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: "int | str | None" = None,
+        *,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """User-facing read: live rows, user columns only.
+
+        ``snapshot_id`` accepts an id, a tag, or a branch name;
+        ``as_of_ts`` (mutually exclusive) is ``TIMESTAMP AS OF`` — the
+        state current at that wall-clock time (``snapshot_as_of``).  The
+        resolved id composes with every other surface (``lookup``,
+        ``read_changelog``, ``rollback``), so only this entry point needs
+        the timestamp spelling.
+        """
+        if as_of_ts is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ts, not both")
+            snapshot_id = self.snapshot_as_of(as_of_ts)
         snap = self.snapshot(snapshot_id)
         user_cols = [f.name for f in self.user_schema(snap).fields]
         return (

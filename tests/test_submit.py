@@ -53,6 +53,16 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
     assert r["snapshot_id"] == 5
     assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
 
+    # TIMESTAMP AS OF on the operational surface: "now" resolves to the
+    # latest snapshot; a pre-history instant is the re-bootstrap error
+    import time as _time
+
+    r = run_cli(capsys, "show", "--table", table,
+                "--as-of-ts", str(_time.time()))
+    assert r["snapshot_id"] == 5
+    with pytest.raises(KeyError, match="re-bootstrap"):
+        submit_ingest.main(["show", "--table", table, "--as-of-ts", "1.0"])
+
     out = str(tmp_path / "changes")
     r = run_cli(capsys, "changes", "--table", table, "--from-snapshot", "1",
                 "--net", "--out", out)

@@ -123,6 +123,40 @@ def test_time_travel_across_modes(spark, tmp_path):
     assert_state_equal(table.read(spark), fx["expected"])
 
 
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF: resolve by wall-clock, equal to the id-based read;
+    pre-history timestamps error with the re-bootstrap contract."""
+    import time
+
+    import pytest
+
+    cfg = GenConfig(n_docs_initial=20, n_events=100, n_segments=2, seed=64)
+    table, fx, segs = _fixture(spark, tmp_path, cfg)
+    t_created = time.time()
+    time.sleep(0.02)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    t_after_0 = time.time()
+    time.sleep(0.02)
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id=1)
+
+    sid0 = table.find_batch("0")
+    assert table.snapshot_as_of(t_after_0) == sid0
+    assert table.snapshot_as_of(time.time()) == table.latest_snapshot_id()
+    assert table.snapshot_as_of(t_created) == 1  # the create snapshot
+    assert_state_equal(
+        table.read(spark, as_of_ts=t_after_0), table.read(spark, sid0).toPandas()
+    )
+    with pytest.raises(KeyError, match="re-bootstrap"):
+        table.snapshot_as_of(t_created - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        table.read(spark, sid0, as_of_ts=t_after_0)
+    # expiry drops old state out of the travel window: after keeping only
+    # the latest snapshot, t_after_0 no longer resolves
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(KeyError, match="re-bootstrap"):
+        table.snapshot_as_of(t_after_0)
+
+
 def test_buried_unlogged_commit_stays_idempotent(spark, tmp_path):
     """Exactly-once hole regression: a crash between _LATEST swap and the
     batches.log append leaves a committed-but-unlogged snapshot.  The next

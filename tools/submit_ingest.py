@@ -200,7 +200,8 @@ def cmd_show(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
     t = SequenceTable(args.table)
-    snap = t.snapshot()
+    sid = t.snapshot_as_of(args.as_of_ts) if args.as_of_ts is not None else None
+    snap = t.snapshot(sid)
     return {
         "snapshot_id": snap["snapshot_id"],
         "n_buckets": snap["n_buckets"],
@@ -209,7 +210,7 @@ def cmd_show(spark, args):
         "n_files": sum(r["n_files"] for r in snap["manifests"])
         if "manifests" in snap
         else len(snap["files"]),
-        "rows": t.read(spark).count(),
+        "rows": t.read(spark, sid).count(),
         "tags": t.tags(),
         "branches": t.branches(),
     }
@@ -349,6 +350,9 @@ def parse_args(argv):
 
     w = sub.add_parser("show", help="print table status")
     w.add_argument("--table", required=True)
+    w.add_argument("--as-of-ts", type=float, default=None,
+                   help="TIMESTAMP AS OF: report the snapshot current at "
+                        "this unix time instead of the latest")
 
     ins = sub.add_parser("inspect", help="metadata tables (Iceberg "
                                          "snapshots/history/refs/manifests/"
