@@ -53,10 +53,29 @@ from ..sources.table import (
     PARENT_FILES,
     CommitConflictError,
     SequenceTable,
+    _schema_to_json,
     bucket_expr,
     has_deltas,
     lww_resolve,
 )
+
+
+def _register_version(
+    snap: dict, batch_sv: int, new_schema: T.StructType, changes
+) -> "tuple[int, T.StructType | None]":
+    """Pick the schema version this batch's rows are stamped with, and the
+    schema to register (None when the table shape is unchanged).  Normally
+    the source's stamp governs, but when that version number is already
+    registered with a DIFFERENT shape — a column-DDL commit or a rollback
+    outran the source's stamps — allocate the next free table version
+    instead of tripping the same-version-different-schema commit guard."""
+    sv = max(int(batch_sv), snap["schema_version"])
+    register = new_schema if (changes or sv > snap["schema_version"]) else None
+    if register is not None:
+        taken = snap["schemas"].get(str(sv))
+        if taken is not None and taken != _schema_to_json(register):
+            sv = max(int(k) for k in snap["schemas"]) + 1
+    return sv, register
 
 
 def _per_partition(prog: list, applied_rows: list) -> list[dict]:
@@ -237,10 +256,16 @@ def evolve_schema(
             pair = (f.dataType.simpleString(), bf.dataType.simpleString())
             if f.name == "tokens":
                 raise ValueError("tokens is pinned to array<int32>; cannot widen")
-            if pair not in ALLOWED_WIDENINGS:
+            if pair in ALLOWED_WIDENINGS:
+                out_fields.append(T.StructField(f.name, bf.dataType, True))
+                changes.append(f"widen:{f.name}:{pair[0]}->{pair[1]}")
+            elif (pair[1], pair[0]) in ALLOWED_WIDENINGS:
+                # batch is NARROWER than the table (a widen_column DDL
+                # outran the source's stamps): keep the table's type — the
+                # batch's values cast up losslessly at union/read time
+                out_fields.append(f)
+            else:
                 raise ValueError(f"illegal type change for {f.name}: {pair}")
-            out_fields.append(T.StructField(f.name, bf.dataType, True))
-            changes.append(f"widen:{f.name}:{pair[0]}->{pair[1]}")
         else:
             out_fields.append(f)
     known = {f.name for f in table_schema.fields}
@@ -449,8 +474,7 @@ def apply_batch(
     if os.environ.get("CFE39_TIMING"):
         print(f"TIMING {bid} prog={time.monotonic() - t_prog:.2f}", file=sys.stderr)
     batch_sv = max((r["sv"] or 0) for r in prog) if prog else 0
-    sv = max(int(batch_sv), snap["schema_version"])
-    register = new_schema if (changes or sv > snap["schema_version"]) else None
+    sv, register = _register_version(snap, batch_sv, new_schema, changes)
     user_cols = [f.name for f in new_schema.fields]
 
     strategy = lww_strategy
@@ -718,8 +742,9 @@ def _apply_mor(
         got_ev = obs_ev.get
         # feedback for the NEXT trigger's 'auto' broadcast guard
         _LAST_DISTINCT_KEYS[table.root] = int(got_ev["dk"] or 0)
-        sv = max(int(got_ev["sv"] or 0), snap["schema_version"])
-        register = new_schema if (changes or sv > snap["schema_version"]) else None
+        sv, register = _register_version(
+            snap, int(got_ev["sv"] or 0), new_schema, changes
+        )
         for e in new_files:
             e["schema_version"] = sv
         prog = [

@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..schema import (
     BOOKKEEPING_COLS,
     BOOKKEEPING_FIELDS,
+    CDC_META_COLS,
     SEQUENCE_SCHEMA_V1,
     storage_schema,
 )
@@ -239,6 +240,39 @@ def _schema_to_json(schema: T.StructType) -> str:
     return schema.json()
 
 
+def _backfill_field_ids(
+    schemas: dict[str, str], fids: dict[str, dict[str, int]] | None
+) -> dict[str, dict[str, int]]:
+    """Field-id registry covering every registered schema version
+    (Iceberg's column-identity mechanism: a rename keeps its id, a drop
+    retires it, a re-add allocates a fresh one so old values never
+    resurrect).  Versions recorded before this registry existed are
+    reconstructed by NAME CHAINING in version order — exact for
+    add/widen-only history, which is the only history a map-less version
+    can have (DDL commits always write their own maps).  Deterministic:
+    same inputs, same ids; O(versions x columns) driver-side, no IO."""
+    out = {k: dict(v) for k, v in (fids or {}).items()}
+    next_id = 1 + max(
+        (i for m in out.values() for i in m.values()), default=0
+    )
+    prev: dict[str, int] = {}
+    for ver in sorted(schemas, key=int):
+        names = [f.name for f in _schema_from_json(schemas[ver]).fields]
+        if ver in out:
+            prev = out[ver]
+            continue
+        m: dict[str, int] = {}
+        for n in names:
+            if n in prev:
+                m[n] = prev[n]
+            else:
+                m[n] = next_id
+                next_id += 1
+        out[ver] = m
+        prev = m
+    return out
+
+
 def _schema_from_json(js: str) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(js))
 
@@ -314,6 +348,11 @@ class SequenceTable:
             "n_buckets": n_buckets,
             "schema_version": schema_version,
             "schemas": {str(schema_version): _schema_to_json(user_schema)},
+            "field_ids": {
+                str(schema_version): {
+                    f.name: i + 1 for i, f in enumerate(user_schema.fields)
+                }
+            },
             "manifests": [t._write_manifest(1, files)] if files else [],
         }
         fs.write_json_atomic(t._snap_path(1), snap)
@@ -1202,6 +1241,7 @@ class SequenceTable:
         n_buckets: int | None = None,
         change_files: list[dict] | None = None,
         expected_parent_id: int | None = None,
+        field_ids: dict[str, int] | None = None,
     ) -> int:
         """``carried_files``: the surviving parent files — pass the
         ``PARENT_FILES`` sentinel to carry the parent's file set by
@@ -1231,6 +1271,7 @@ class SequenceTable:
             return self._commit_locked(
                 batch_id, new_files, carried_files, schema_version, new_schema,
                 lineage, n_buckets, change_files, expected_parent_id, lock=lk,
+                field_ids=field_ids,
             )
 
     def _commit_locked(
@@ -1245,6 +1286,7 @@ class SequenceTable:
         change_files: list[dict] | None,
         expected_parent_id: int | None,
         lock: fs.mutex | None = None,
+        field_ids: dict[str, int] | None = None,
     ) -> int:
         existing = self.find_batch(str(batch_id), _locked=True)
         if existing is not None:
@@ -1287,6 +1329,19 @@ class SequenceTable:
                     f"schema; re-plan against snapshot {parent['snapshot_id']}"
                 )
             schemas[str(sv)] = incoming
+        # field-id registry: existing maps carry over untouched (a
+        # DDL-written map is never clobbered); map-less versions (legacy
+        # tables, batch-evolution history) are reconstructed by name
+        # chaining, which is exact for the add/widen-only history they can
+        # have.  A DDL commit supplies this commit's map explicitly —
+        # name-chaining would mint a fresh id for a renamed column and
+        # orphan its old files' values.
+        if field_ids is not None:
+            prior = {k: v for k, v in schemas.items() if k != str(sv)}
+            fids = _backfill_field_ids(prior, parent.get("field_ids"))
+            fids[str(sv)] = dict(field_ids)
+        else:
+            fids = _backfill_field_ids(schemas, parent.get("field_ids"))
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
@@ -1295,6 +1350,7 @@ class SequenceTable:
             "n_buckets": n_buckets if n_buckets is not None else parent["n_buckets"],
             "schema_version": sv,
             "schemas": schemas,
+            "field_ids": fids,
             "manifests": self._plan_manifests(sid, parent, new_files, carried_files),
             "change_files": change_files or [],
             "lineage": lineage or {},
@@ -1396,8 +1452,13 @@ class SequenceTable:
                 "n_buckets": target["n_buckets"],
                 "schema_version": target["schema_version"],
                 # keep the full registry: files of intermediate snapshots
-                # still decode by their registered version
+                # still decode by their registered version.  Field ids ride
+                # along — losing them would make a later name-chaining
+                # backfill re-derive WRONG identity for renamed history.
                 "schemas": dict(parent["schemas"]),
+                "field_ids": _backfill_field_ids(
+                    parent["schemas"], parent.get("field_ids")
+                ),
                 # segments are immutable: sharing the target's references is
                 # a metadata-only copy (expiry GC counts refs across ALL
                 # retained snapshots, so sharing is safe)
@@ -1458,6 +1519,167 @@ class SequenceTable:
             return new_sid
 
     # ------------------------------------------------------------------ #
+    # column DDL (C7 metadata side): rename / drop / add without rewrite
+    # ------------------------------------------------------------------ #
+    #: Columns the engine's contract pins: ``doc_id`` is the merge key and
+    #: ``tokens`` carries the bit-for-bit per-row invariant — renaming or
+    #: dropping either would orphan the write path, not evolve the schema.
+    CONTRACT_COLS = ("doc_id", "tokens")
+
+    def _ddl_validate_name(self, name: str) -> None:
+        if not name.isidentifier():
+            raise ValueError(f"column name {name!r} is not a valid identifier")
+        if name.startswith("_"):
+            raise ValueError(f"column name {name!r} is reserved (underscore prefix)")
+        if name in BOOKKEEPING_COLS or name in CDC_META_COLS:
+            raise ValueError(
+                f"column name {name!r} collides with an engine envelope column"
+            )
+
+    def _ddl_commit(
+        self,
+        op: str,
+        new_schema: T.StructType,
+        new_map: dict[str, int],
+        lineage: dict,
+        lock: "fs.mutex",
+        snap: dict,
+    ) -> int:
+        """Metadata-only schema commit: the parent's files are carried by
+        manifest reference (zero data IO — Iceberg's ALTER TABLE shape),
+        the new schema version registers alongside every prior one, and
+        the explicit field-id map records column identity so the read path
+        reconciles every old file to the new shape."""
+        sv = max(int(k) for k in snap["schemas"]) + 1
+        return self._commit_locked(
+            batch_id=f"__ddl_{op}_v{sv}__",
+            new_files=[],
+            carried_files=PARENT_FILES,
+            schema_version=sv,
+            new_schema=new_schema,
+            lineage={"ddl": lineage},
+            n_buckets=None,
+            change_files=None,
+            expected_parent_id=snap["snapshot_id"],
+            lock=lock,
+            field_ids=new_map,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN: metadata-only (no file rewrite).
+        The column keeps its field id, so files written under the old name
+        keep serving their values under the new one (Iceberg rename
+        semantics).  Returns the new snapshot id."""
+        self._ddl_validate_name(new)
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
+            snap = self.snapshot()
+            schema = self.user_schema(snap)
+            names = [f.name for f in schema.fields]
+            if old in self.CONTRACT_COLS:
+                raise ValueError(f"cannot rename contract column {old!r}")
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+            cur = reg[str(snap["schema_version"])]
+            new_schema = T.StructType(
+                [
+                    T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            new_map = {(new if n == old else n): i for n, i in cur.items()}
+            return self._ddl_commit(
+                f"rename_{old}_{new}", new_schema, new_map,
+                {"op": "rename", "from": old, "to": new}, lk, snap,
+            )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN: metadata-only.  The field id
+        retires with the column — a later ``add_column`` under the same
+        name mints a FRESH id, so dropped values never resurrect from old
+        files (the Iceberg no-resurrection rule)."""
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
+            snap = self.snapshot()
+            schema = self.user_schema(snap)
+            if name in self.CONTRACT_COLS:
+                raise ValueError(f"cannot drop contract column {name!r}")
+            if name not in [f.name for f in schema.fields]:
+                raise ValueError(f"no such column: {name!r}")
+            reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+            cur = reg[str(snap["schema_version"])]
+            new_schema = T.StructType([f for f in schema.fields if f.name != name])
+            new_map = {n: i for n, i in cur.items() if n != name}
+            return self._ddl_commit(
+                f"drop_{name}", new_schema, new_map,
+                {"op": "drop", "name": name}, lk, snap,
+            )
+
+    def widen_column(self, name: str, dtype: T.DataType) -> int:
+        """ALTER TABLE ... ALTER COLUMN TYPE: metadata-only widen, gated
+        to the SAME matrix batch-driven evolution honors
+        (``ALLOWED_WIDENINGS``) — old files cast up at read, never
+        rewritten.  The field id is unchanged: widening does not change
+        column identity.  ``tokens`` stays array<int32> (the bit-for-bit
+        invariant forbids widening it; ``doc_id`` is a string key)."""
+        from ..schema import ALLOWED_WIDENINGS
+
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
+            snap = self.snapshot()
+            schema = self.user_schema(snap)
+            cur_field = next((f for f in schema.fields if f.name == name), None)
+            if cur_field is None:
+                raise ValueError(f"no such column: {name!r}")
+            if name in self.CONTRACT_COLS:
+                raise ValueError(f"cannot widen contract column {name!r}")
+            pair = (cur_field.dataType.simpleString(), dtype.simpleString())
+            if pair not in ALLOWED_WIDENINGS:
+                raise ValueError(f"illegal type change for {name}: {pair}")
+            reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+            cur = reg[str(snap["schema_version"])]
+            new_schema = T.StructType(
+                [
+                    T.StructField(name, dtype, True) if f.name == name else f
+                    for f in schema.fields
+                ]
+            )
+            return self._ddl_commit(
+                f"widen_{name}", new_schema, dict(cur),
+                {"op": "widen", "name": name, "from": pair[0], "to": pair[1]},
+                lk, snap,
+            )
+
+    def add_column(
+        self, name: str, dtype: T.DataType, nullable: bool = True
+    ) -> int:
+        """ALTER TABLE ... ADD COLUMN: metadata-only; existing rows read
+        as null.  Allocates a fresh field id above every id ever used —
+        including retired ones — which is exactly what keeps a re-added
+        name from resurrecting dropped data."""
+        self._ddl_validate_name(name)
+        if not nullable:
+            raise ValueError(
+                "added columns must be nullable: existing rows have no value"
+            )
+        with fs.mutex(os.path.join(self.meta_dir, "_LOCK")) as lk:
+            snap = self.snapshot()
+            schema = self.user_schema(snap)
+            if name in [f.name for f in schema.fields]:
+                raise ValueError(f"column {name!r} already exists")
+            reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+            cur = reg[str(snap["schema_version"])]
+            fresh = 1 + max((i for m in reg.values() for i in m.values()), default=0)
+            new_schema = T.StructType(
+                list(schema.fields) + [T.StructField(name, dtype, True)]
+            )
+            new_map = dict(cur) | {name: fresh}
+            return self._ddl_commit(
+                f"add_{name}", new_schema, new_map,
+                {"op": "add", "name": name, "type": dtype.simpleString()}, lk, snap,
+            )
+
+    # ------------------------------------------------------------------ #
     # reads (S3) with schema reconciliation (C7 read side)
     # ------------------------------------------------------------------ #
     def _read_files(
@@ -1480,22 +1702,46 @@ class SequenceTable:
             by_ver.setdefault(e["schema_version"], []).append(
                 os.path.join(self.root, e["path"])
             )
+        # Column identity is FIELD IDS, not names (Iceberg's mechanism):
+        # a target field reads the stored column that carries the same id
+        # at the file's schema version.  Rename → old files keep serving
+        # their values under the new name; drop-then-re-add → fresh id, so
+        # old files' values never resurrect even though the physical column
+        # name matches.  Tables predating the registry get a deterministic
+        # name-chained backfill (identical to the old name-matching).
+        reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+        cur_ids = reg.get(str(snap["schema_version"]), {})
         parts = []
         for ver, paths in sorted(by_ver.items()):
-            src = _schema_from_json(snap["schemas"][str(ver)])
+            src_names = {
+                f.name for f in _schema_from_json(snap["schemas"][str(ver)]).fields
+            }
+            inv = {i: n for n, i in reg.get(str(ver), {}).items()}
             df = spark.read.parquet(*paths)
             # intersect with the files' PHYSICAL columns: bookkeeping cols
             # added after a file group was written (e.g. _last_src_partition
             # landed after v1 tables existed) must null-fill like any other
             # read-side schema evolution, not crash the select — downstream
             # LWW ordering coalesces the nulls to the legacy sentinel
-            have = (
-                {f.name for f in src.fields} | set(BOOKKEEPING_COLS)
-            ) & set(df.columns)
-            cols = [
-                (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
-                for f in target.fields
-            ]
+            phys = set(df.columns)
+            cols = []
+            for f in target.fields:
+                fid = cur_ids.get(f.name)
+                if fid is not None:
+                    stored = inv.get(fid)  # None: no such id at ver → null
+                else:
+                    # bookkeeping cols + batch-new columns not yet
+                    # registered at the tip: name match (old behavior)
+                    stored = (
+                        f.name
+                        if f.name in src_names or f.name in BOOKKEEPING_COLS
+                        else None
+                    )
+                cols.append(
+                    F.col(stored).cast(f.dataType).alias(f.name)
+                    if stored is not None and stored in phys
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
             parts.append(df.select(cols))
         out = parts[0]
         for p in parts[1:]:

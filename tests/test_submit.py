@@ -85,6 +85,19 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
     # table still reads correctly after maintenance
     assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
 
+    # column DDL surface: rename keeps old files' values (field-id
+    # identity), add reads null, drop disappears — then rename back so the
+    # oracle comparison stays shape-exact
+    r = run_cli(capsys, "ddl", "--table", table, "--rename", "source", "origin")
+    assert r["ddl"] == {"op": "rename", "from": "source", "to": "origin"}
+    assert "origin" in r["schema"] and "source" not in r["schema"]
+    r = run_cli(capsys, "ddl", "--table", table, "--add", "quality", "double")
+    assert "quality" in r["schema"]
+    r = run_cli(capsys, "ddl", "--table", table, "--drop", "quality")
+    assert "quality" not in r["schema"]
+    run_cli(capsys, "ddl", "--table", table, "--rename", "origin", "source")
+    assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
+
 
 def test_submit_stream_cmd(spark, tmp_path, capsys):
     fx = write_fixture(

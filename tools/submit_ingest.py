@@ -196,6 +196,37 @@ def cmd_branch(spark, args):
                      "is required")
 
 
+def cmd_ddl(spark, args):
+    from pyspark.sql import types as T
+
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    if args.rename:
+        old, new = args.rename
+        sid = t.rename_column(old, new)
+        op = {"op": "rename", "from": old, "to": new}
+    elif args.drop:
+        sid = t.drop_column(args.drop)
+        op = {"op": "drop", "name": args.drop}
+    elif args.add:
+        name, type_str = args.add
+        # 'string' / 'array<int>' / 'double' ... — Spark's DDL type parser
+        sid = t.add_column(name, T._parse_datatype_string(type_str))
+        op = {"op": "add", "name": name, "type": type_str}
+    elif args.widen:
+        name, type_str = args.widen
+        sid = t.widen_column(name, T._parse_datatype_string(type_str))
+        op = {"op": "widen", "name": name, "to": type_str}
+    else:
+        raise SystemExit("ddl: one of --rename, --drop, --add, --widen is required")
+    return {
+        "snapshot_id": sid,
+        "ddl": op,
+        "schema": t.user_schema().simpleString(),
+    }
+
+
 def cmd_show(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -354,6 +385,19 @@ def parse_args(argv):
                    help="TIMESTAMP AS OF: report the snapshot current at "
                         "this unix time instead of the latest")
 
+    dd = sub.add_parser("ddl", help="column DDL: rename/drop/add without "
+                                    "rewriting data (Iceberg field-id "
+                                    "semantics)")
+    dd.add_argument("--table", required=True)
+    dd.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"), default=None)
+    dd.add_argument("--drop", default=None, metavar="NAME")
+    dd.add_argument("--add", nargs=2, metavar=("NAME", "TYPE"), default=None,
+                    help="TYPE is a Spark DDL type string, e.g. string, "
+                         "double, array<int>")
+    dd.add_argument("--widen", nargs=2, metavar=("NAME", "TYPE"), default=None,
+                    help="widen a column's type (same matrix as batch "
+                         "evolution: int->bigint, float->double, ...)")
+
     ins = sub.add_parser("inspect", help="metadata tables (Iceberg "
                                          "snapshots/history/refs/manifests/"
                                          "files role)")
@@ -381,6 +425,7 @@ COMMANDS = {
     "expire": cmd_expire,
     "tag": cmd_tag,
     "branch": cmd_branch,
+    "ddl": cmd_ddl,
     "show": cmd_show,
     "inspect": cmd_inspect,
 }
