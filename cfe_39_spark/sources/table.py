@@ -1713,9 +1713,6 @@ class SequenceTable:
         cur_ids = reg.get(str(snap["schema_version"]), {})
         parts = []
         for ver, paths in sorted(by_ver.items()):
-            src_names = {
-                f.name for f in _schema_from_json(snap["schemas"][str(ver)]).fields
-            }
             inv = {i: n for n, i in reg.get(str(ver), {}).items()}
             df = spark.read.parquet(*paths)
             # intersect with the files' PHYSICAL columns: bookkeeping cols
@@ -1729,14 +1726,16 @@ class SequenceTable:
                 fid = cur_ids.get(f.name)
                 if fid is not None:
                     stored = inv.get(fid)  # None: no such id at ver → null
+                elif f.name in BOOKKEEPING_COLS:
+                    stored = f.name  # engine columns: physical name match
                 else:
-                    # bookkeeping cols + batch-new columns not yet
-                    # registered at the tip: name match (old behavior)
-                    stored = (
-                        f.name
-                        if f.name in src_names or f.name in BOOKKEEPING_COLS
-                        else None
-                    )
+                    # a user column with NO id at the tip is brand-new
+                    # (a batch is registering it in this very commit): no
+                    # existing file can hold its values — even one whose
+                    # RETIRED same-named column physically remains (the
+                    # no-resurrection rule must hold through the merge
+                    # read, not just plain reads)
+                    stored = None
                 cols.append(
                     F.col(stored).cast(f.dataType).alias(f.name)
                     if stored is not None and stored in phys

@@ -70,6 +70,23 @@ def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
     assert out.filter(F.col("source").isNotNull()).count() == 0
 
 
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_batch_readd_after_drop_does_not_resurrect(spark, tmp_path, mode):
+    # the subtler resurrection path: 'source' is dropped by DDL, then a
+    # BATCH (not DDL) re-adds the name via schema evolution.  The merge
+    # read reconciles old state at the evolved schema — under COW it
+    # REWRITES old rows, so a name-based match there would persist the
+    # dropped values forever, not just leak them into one read
+    table, segs = _make_table(spark, tmp_path)
+    table.drop_column("source")
+    seg = spark.read.parquet(segs[0]).withColumn("source", F.lit("fresh"))
+    touched = {r["doc_id"] for r in seg.select("doc_id").distinct().collect()}
+    apply_batch(spark, table, seg, batch_id="readd", mode=mode)
+    rows = {r["doc_id"]: r["source"] for r in table.read(spark).collect()}
+    assert all(v == "fresh" for d, v in rows.items() if d in touched)
+    assert all(v is None for d, v in rows.items() if d not in touched)
+
+
 def test_add_column_nulls_then_batch_fills(spark, tmp_path):
     table, segs = _make_table(spark, tmp_path)
     table.add_column("quality", T.DoubleType())
