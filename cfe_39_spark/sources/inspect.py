@@ -30,7 +30,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
     from .table import SequenceTable
 
-VIEWS = ("snapshots", "history", "refs", "manifests", "files")
+VIEWS = ("snapshots", "history", "refs", "manifests", "files", "schemas")
 
 _SNAPSHOTS_SCHEMA = T.StructType([
     T.StructField("snapshot_id", T.LongType(), False),
@@ -217,6 +217,38 @@ def files_df(
     )
 
 
+_SCHEMAS_SCHEMA = T.StructType([
+    T.StructField("schema_version", T.IntegerType(), False),
+    T.StructField("column", T.StringType(), False),
+    T.StructField("field_id", T.IntegerType(), True),
+    T.StructField("type", T.StringType(), False),
+    T.StructField("nullable", T.BooleanType(), False),
+    T.StructField("is_current", T.BooleanType(), False),
+])
+
+
+def schemas_df(
+    spark: "SparkSession", table: "SequenceTable", at: "int | str | None" = None
+) -> "DataFrame":
+    """Every registered schema version of one snapshot, one row per
+    column, with its Iceberg-style field id (column identity across
+    rename/drop/re-add).  Metadata-only: one descriptor read."""
+    from .table import _backfill_field_ids, _schema_from_json
+
+    snap = table.snapshot(at)
+    reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+    cur = snap["schema_version"]
+    rows = []
+    for ver in sorted(snap["schemas"], key=int):
+        ids = reg.get(ver, {})
+        for f in _schema_from_json(snap["schemas"][ver]).fields:
+            rows.append((
+                int(ver), f.name, ids.get(f.name),
+                f.dataType.simpleString(), bool(f.nullable), int(ver) == cur,
+            ))
+    return spark.createDataFrame(rows, _SCHEMAS_SCHEMA)
+
+
 def inspect_df(
     spark: "SparkSession",
     table: "SequenceTable",
@@ -234,4 +266,6 @@ def inspect_df(
         return manifests_df(spark, table, at)
     if view == "files":
         return files_df(spark, table, at)
+    if view == "schemas":
+        return schemas_df(spark, table, at)
     raise ValueError(f"unknown metadata view {view!r}; have {VIEWS}")
