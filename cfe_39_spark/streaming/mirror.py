@@ -128,7 +128,15 @@ def run_mirror(
 ) -> list[MirrorTick]:
     """Mirror loop.  ``available_now=True`` drains everything committed so
     far and stops (bounded catch-up, T7 semantics); otherwise polls until
-    ``max_triggers`` spans have been applied (None = run forever)."""
+    ``max_triggers`` spans have been applied (None = run forever).
+
+    DDL caveat: the mirror replicates DATA, not DDL — a ``rename_column``
+    on the source re-emits subsequent changes under the new name, which
+    the destination's batch evolution registers as an ADDED column (the
+    old one stops updating).  To keep the shapes aligned, apply the same
+    DDL to the destination before the next tick — field-id identity makes
+    that a metadata-only commit on both sides (the same contract Delta/
+    Iceberg CDF consumers have: DDL is out-of-band)."""
     ticks: list[MirrorTick] = []
     while True:
         tick = mirror_once(spark, src, dst, checkpoint_dir,
