@@ -71,6 +71,9 @@ _MANIFESTS_SCHEMA = T.StructType([
     T.StructField("n_delta_files", T.LongType(), False),
     T.StructField("min_doc_id", T.StringType(), True),
     T.StructField("max_doc_id", T.StringType(), True),
+    # segment-level event-time ceiling (epoch micros); null = unknown,
+    # the time-skipping planner must load the body
+    T.StructField("max_event_time", T.LongType(), True),
 ])
 
 # matches the manifest entry shape written by SequenceTable._stat_entries
@@ -80,6 +83,10 @@ _FILE_ENTRY_SCHEMA = T.StructType([
     T.StructField("rows", T.LongType()),
     T.StructField("min_doc_id", T.StringType()),
     T.StructField("max_doc_id", T.StringType()),
+    # epoch-micros _last_event_time bounds (time-skipping stats); null on
+    # entries written before the stat landed
+    T.StructField("min_event_time", T.LongType()),
+    T.StructField("max_event_time", T.LongType()),
     T.StructField("schema_version", T.IntegerType()),
     T.StructField("kind", T.StringType()),
 ])
@@ -182,6 +189,7 @@ def manifests_df(
             sum(int(c) for c in r.get("delta_counts", {}).values()),
             r.get("min_doc_id"),
             r.get("max_doc_id"),
+            r.get("max_event_time"),
         ))
     return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
 

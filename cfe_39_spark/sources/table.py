@@ -277,8 +277,38 @@ def _schema_from_json(js: str) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(js))
 
 
-def _file_stats(path: str) -> tuple[int, str | None, str | None]:
-    """(rows, min_doc_id, max_doc_id) from the parquet footer.
+def _ts_micros(v) -> int | None:
+    """Parquet footer timestamp statistic → epoch microseconds (UTC).
+
+    pyarrow hands back ``datetime`` objects; Spark writes
+    ``_last_event_time`` with the session timeZone pinned to UTC
+    (session.py), so a naive datetime here IS a UTC instant."""
+    if v is None:
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, (int, float)):  # physical int64 micros
+        return int(v)
+    return None
+
+
+def _bound_micros(v: "datetime.datetime | float | int") -> int:
+    """User-facing time bound → epoch microseconds (naive datetime = UTC,
+    numbers = epoch seconds)."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(float(v) * 1_000_000)
+
+
+def _file_stats(
+    path: str,
+) -> tuple[int, str | None, str | None, int | None, int | None]:
+    """(rows, min_doc_id, max_doc_id, min_event_time, max_event_time)
+    from the parquet footer; event-time bounds are epoch microseconds.
 
     Driver-side footer read is fine here: files-per-commit is bounded by
     touched buckets.  On a real cluster this becomes a Spark-side stat
@@ -286,22 +316,36 @@ def _file_stats(path: str) -> tuple[int, str | None, str | None]:
     """
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
-    doc_idx = None
+    doc_idx = et_idx = None
     for i in range(len(md.schema)):
-        if md.schema.column(i).name == "doc_id":
+        name = md.schema.column(i).name
+        if name == "doc_id":
             doc_idx = i
-            break
+        elif name == "_last_event_time":
+            et_idx = i
     mn = mx = None
     if doc_idx is not None:
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(doc_idx).statistics
             if st is None or not st.has_min_max:
-                return rows, None, None
+                mn = mx = None
+                break
             lo = st.min if isinstance(st.min, str) else st.min.decode()
             hi = st.max if isinstance(st.max, str) else st.max.decode()
             mn = lo if mn is None or lo < mn else mn
             mx = hi if mx is None or hi > mx else mx
-    return rows, mn, mx
+    et_mn = et_mx = None
+    if et_idx is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(et_idx).statistics
+            lo = _ts_micros(st.min) if st is not None and st.has_min_max else None
+            hi = _ts_micros(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                et_mn = et_mx = None
+                break
+            et_mn = lo if et_mn is None or lo < et_mn else et_mn
+            et_mx = hi if et_mx is None or hi > et_mx else et_mx
+    return rows, mn, mx, et_mn, et_mx
 
 
 class SequenceTable:
@@ -878,6 +922,8 @@ class SequenceTable:
         mins = [e.get("min_doc_id") for e in entries]
         maxs = [e.get("max_doc_id") for e in entries]
         known = entries and None not in mins and None not in maxs
+        et_maxs = [e.get("max_event_time") for e in entries]
+        et_known = entries and None not in et_maxs
         return {
             "path": rel,
             "n_files": len(entries),
@@ -886,6 +932,11 @@ class SequenceTable:
             "buckets": sorted({int(e["bucket"]) for e in entries}),
             "min_doc_id": min(mins) if known else None,
             "max_doc_id": max(maxs) if known else None,
+            # segment-level time bound: valid only if EVERY entry knows its
+            # event-time ceiling — one unknown makes the segment unknown
+            # (never time-pruned); only the MAX is aggregated because only
+            # the lower-bound read (min_event_time) can skip soundly
+            "max_event_time": max(et_maxs) if et_known else None,
         }
 
     def _load_manifest(self, ref: dict) -> list[dict]:
@@ -932,6 +983,36 @@ class SequenceTable:
             ):
                 continue
             out.extend(e for e in self._load_manifest(ref) if e["bucket"] in wanted)
+        return out
+
+    def _files_min_event_time(self, snap: dict, micros: int) -> list[dict]:
+        """File entries that can hold a row with ``_last_event_time >=
+        micros`` — manifest-level time skipping for recent-state reads.
+
+        Two stages, both driver-side metadata only: a manifest segment
+        whose reference-level ``max_event_time`` ceiling is below the
+        bound is skipped WITHOUT loading its body; surviving segments'
+        entries are kept unless their per-file ceiling is below the
+        bound.  Entries or refs lacking the stat (written before the
+        stats landed) are kept — correctness over skipping."""
+        if "manifests" not in snap:
+            return [
+                e
+                for e in snap["files"]
+                if e.get("max_event_time") is None
+                or e["max_event_time"] >= micros
+            ]
+        out: list[dict] = []
+        for ref in snap["manifests"]:
+            ceil = ref.get("max_event_time")
+            if ceil is not None and ceil < micros:
+                continue
+            out.extend(
+                e
+                for e in self._load_manifest(ref)
+                if e.get("max_event_time") is None
+                or e["max_event_time"] >= micros
+            )
         return out
 
     def _plan_manifests(
@@ -1209,7 +1290,7 @@ class SequenceTable:
         # caps streaming scaling efficiency, so it must not be O(B) serial
         entries = []
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
-            for (p, b), (rows, mn, mx) in zip(
+            for (p, b), (rows, mn, mx, et_mn, et_mx) in zip(
                 paths, pool.map(lambda pb: _file_stats(pb[0]), paths)
             ):
                 if rows == 0:
@@ -1221,6 +1302,12 @@ class SequenceTable:
                         "rows": rows,
                         "min_doc_id": mn,
                         "max_doc_id": mx,
+                        # epoch-micros bounds of _last_event_time: drives
+                        # manifest-level file skipping for recent-state
+                        # reads (read(min_event_time=...)); None (legacy
+                        # entries predate the key) is never skipped
+                        "min_event_time": et_mn,
+                        "max_event_time": et_mx,
                         "schema_version": schema_version,
                         "kind": kind,
                     }
@@ -1781,6 +1868,7 @@ class SequenceTable:
         snapshot_id: "int | str | None" = None,
         *,
         as_of_ts: float | None = None,
+        min_event_time: "datetime.datetime | float | None" = None,
     ) -> DataFrame:
         """User-facing read: live rows, user columns only.
 
@@ -1790,6 +1878,24 @@ class SequenceTable:
         resolved id composes with every other surface (``lookup``,
         ``read_changelog``, ``rollback``), so only this entry point needs
         the timestamp spelling.
+
+        ``min_event_time`` (a datetime, naive = UTC, or epoch seconds)
+        returns only live rows whose winning event is at or after the
+        bound — ``read().filter(_last_event_time >= X)`` semantics — at
+        file-skipping cost: files whose footer event-time ceiling is
+        below the bound are never planned (``_files_min_event_time``).
+        This is the dominant 100 TB query ("state touched in the last
+        day") and the skip is SOUND under MOR: resolve-then-filter over
+        the kept subset equals resolve-then-filter over all files —
+        * a doc whose true winner is >= X has that winner in a kept file
+          (the winner's own file ceiling is >= X), and the subset winner
+          equals the true winner (subset ⊆ all, true winner ∈ subset);
+        * a doc whose true winner is < X can only surface a subset
+          winner ordered <= the true winner, i.e. < X — the post-filter
+          drops it, matching the full read.
+        The mirror-image UPPER bound cannot skip (a doc whose true
+        winner is above the ceiling would resurface via an older kept
+        row), so only the lower bound is offered.
         """
         if as_of_ts is not None:
             if snapshot_id is not None:
@@ -1797,8 +1903,31 @@ class SequenceTable:
             snapshot_id = self.snapshot_as_of(as_of_ts)
         snap = self.snapshot(snapshot_id)
         user_cols = [f.name for f in self.user_schema(snap).fields]
+        if min_event_time is None:
+            return (
+                self.read_state(spark, snapshot_id)
+                .filter(~F.col("_deleted"))
+                .select(user_cols)
+            )
+        micros = _bound_micros(min_event_time)
+        kept = self._files_min_event_time(snap, micros)
+        # dirty buckets come from the FULL snapshot (ref-level aggregates,
+        # no segment bodies): a bucket whose delta was time-pruned must
+        # still resolve — its kept files can hold several versions of one
+        # key; clean buckets keep the engine's one-row-per-key invariant
+        # even under pruning (kept ⊆ their unique base rows)
+        dirty_buckets = set(self.delta_file_counts(snap))
+        dirty = [e for e in kept if e["bucket"] in dirty_buckets]
+        clean = [e for e in kept if e["bucket"] not in dirty_buckets]
+        state = self._read_files(spark, snap, clean)
+        if dirty:
+            state = lww_resolve(self._read_files(spark, snap, dirty)).unionByName(
+                state
+            )
         return (
-            self.read_state(spark, snapshot_id)
+            state.filter(
+                F.col("_last_event_time") >= F.timestamp_micros(F.lit(micros))
+            )
             .filter(~F.col("_deleted"))
             .select(user_cols)
         )

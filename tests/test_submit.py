@@ -63,6 +63,15 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
     with pytest.raises(KeyError, match="re-bootstrap"):
         submit_ingest.main(["show", "--table", table, "--as-of-ts", "1.0"])
 
+    # time-skipping recent-state surface: a bound below all events keeps
+    # everything; one above them plans ZERO files and reports zero rows
+    r = run_cli(capsys, "show", "--table", table, "--min-event-time", "0.0")
+    assert r["recent_rows"] == r["rows"]
+    assert r["recent_files_planned"] == r["n_files"]
+    far = str(_time.time() + 10 * 365 * 86400)
+    r = run_cli(capsys, "show", "--table", table, "--min-event-time", far)
+    assert r["recent_rows"] == 0 and r["recent_files_planned"] == 0
+
     out = str(tmp_path / "changes")
     r = run_cli(capsys, "changes", "--table", table, "--from-snapshot", "1",
                 "--net", "--out", out)

@@ -40,6 +40,11 @@ def fake_entries(i: int) -> list[dict]:
             "rows": 1000,
             "min_doc_id": f"d{i:08d}",
             "max_doc_id": f"d{i + 1:08d}",
+            # stream-shaped event-time bounds (monotone in commit order):
+            # old segments fall below any recent-read bound, so the time
+            # planner must skip them at the REF level, never loading bodies
+            "min_event_time": i * 1_000_000,
+            "max_event_time": (i + 1) * 1_000_000,
             "schema_version": 1,
             "kind": "delta",
         }
@@ -58,7 +63,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="metabench-")
     t = SequenceTable.create(spark, os.path.join(root, "t"), n_buckets=16)
     checkpoints = []
-    win_commit, win_probe, win_gauge = [], [], []
+    win_commit, win_probe, win_gauge, win_tplan = [], [], [], []
     prev_meta_bytes = dir_bytes(t.meta_dir)
     for i in range(N_COMMITS):
         t0 = time.perf_counter()
@@ -70,6 +75,12 @@ def main() -> None:
         t0 = time.perf_counter()
         t.delta_file_counts()  # the every-trigger compaction gauge
         win_gauge.append(time.perf_counter() - t0)
+        # recent-read time planner: last ~8 commits' window.  Must stay
+        # flat as live files grow — old segments skip off the ref ceiling
+        t0 = time.perf_counter()
+        kept = t._files_min_event_time(t.snapshot(), max(i - 7, 0) * 1_000_000)
+        assert len(kept) <= 16 * FILES_PER_COMMIT
+        win_tplan.append(time.perf_counter() - t0)
         if (i + 1) % CHECKPOINT_EVERY == 0:
             snap = t.snapshot()
             meta_bytes = dir_bytes(t.meta_dir)
@@ -87,10 +98,13 @@ def main() -> None:
                     "commit_ms": round(1e3 * sum(win_commit) / len(win_commit), 2),
                     "probe_ms": round(1e3 * sum(win_probe) / len(win_probe), 3),
                     "gauge_ms": round(1e3 * sum(win_gauge) / len(win_gauge), 3),
+                    "time_plan_ms": round(
+                        1e3 * sum(win_tplan) / len(win_tplan), 3
+                    ),
                 }
             )
             prev_meta_bytes = meta_bytes
-            win_commit, win_probe, win_gauge = [], [], []
+            win_commit, win_probe, win_gauge, win_tplan = [], [], [], []
     spark.stop()
     first, last = checkpoints[0], checkpoints[-1]
     print(
@@ -106,6 +120,9 @@ def main() -> None:
                     ),
                     "probe_ms_last_over_first": round(
                         last["probe_ms"] / first["probe_ms"], 2
+                    ),
+                    "time_plan_ms_last_over_first": round(
+                        last["time_plan_ms"] / first["time_plan_ms"], 2
                     ),
                     "live_files_growth": round(
                         last["live_files"] / first["live_files"], 1

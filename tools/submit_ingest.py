@@ -233,7 +233,7 @@ def cmd_show(spark, args):
     t = SequenceTable(args.table)
     sid = t.snapshot_as_of(args.as_of_ts) if args.as_of_ts is not None else None
     snap = t.snapshot(sid)
-    return {
+    out = {
         "snapshot_id": snap["snapshot_id"],
         "n_buckets": snap["n_buckets"],
         "schema_version": snap["schema_version"],
@@ -245,6 +245,17 @@ def cmd_show(spark, args):
         "tags": t.tags(),
         "branches": t.branches(),
     }
+    if args.min_event_time is not None:
+        # time-pruned recent-state read: rows whose winning event is at or
+        # after the bound, planning only files whose footer ceiling reaches
+        # it (table.py::read soundness note)
+        out["recent_rows"] = t.read(
+            spark, sid, min_event_time=args.min_event_time
+        ).count()
+        out["recent_files_planned"] = len(
+            t._files_min_event_time(snap, int(args.min_event_time * 1_000_000))
+        )
+    return out
 
 
 def cmd_inspect(spark, args):
@@ -384,6 +395,10 @@ def parse_args(argv):
     w.add_argument("--as-of-ts", type=float, default=None,
                    help="TIMESTAMP AS OF: report the snapshot current at "
                         "this unix time instead of the latest")
+    w.add_argument("--min-event-time", type=float, default=None,
+                   help="also report the recent-state slice (winning event "
+                        "at/after this unix time) and how many files the "
+                        "time-skipping planner touched for it")
 
     dd = sub.add_parser("ddl", help="column DDL: rename/drop/add without "
                                     "rewriting data (Iceberg field-id "
