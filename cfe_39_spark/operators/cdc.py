@@ -804,6 +804,19 @@ def _apply_mor(
                 f"table rebucketed {n_buckets}->{cur['n_buckets']} mid-apply; "
                 "delta bucket layout is stale — retry the whole batch"
             )
+        if cur is not snap and register is not None:
+            # a concurrent commit (e.g. column DDL) may have claimed this
+            # batch's version number with a DIFFERENT shape; re-derive
+            # against the new parent and restamp the entries — the same
+            # _register_version rule the plan applies when a DDL outran
+            # the source's stamps, now also on the retry path.  Without
+            # it every retry replays the identical stale (sv, register)
+            # pair into the same-version-different-schema guard
+            new_sv, _ = _register_version(cur, sv, register, True)
+            if new_sv != sv:
+                sv = new_sv
+                for e in new_files:
+                    e["schema_version"] = sv
         try:
             sid = table.commit(
                 bid,

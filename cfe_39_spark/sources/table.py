@@ -257,10 +257,10 @@ def _backfill_field_ids(
     )
     prev: dict[str, int] = {}
     for ver in sorted(schemas, key=int):
-        names = [f.name for f in _schema_from_json(schemas[ver]).fields]
-        if ver in out:
+        if ver in out:  # before the parse: this runs on every read
             prev = out[ver]
             continue
+        names = [f.name for f in _schema_from_json(schemas[ver]).fields]
         m: dict[str, int] = {}
         for n in names:
             if n in prev:
@@ -277,6 +277,21 @@ def _schema_from_json(js: str) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(js))
 
 
+_EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _dt_micros_exact(v: datetime.datetime) -> int:
+    """datetime → epoch micros by INTEGER timedelta arithmetic.  The float
+    detour (``int(v.timestamp() * 1e6)``) truncates one microsecond low
+    for ~1% of instants — enough to unsoundly prune a file whose true
+    ceiling EQUALS the query bound.  Exact math, not rounding, is the
+    fix: stats are a correctness boundary."""
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=datetime.timezone.utc)
+    td = v - _EPOCH_UTC
+    return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+
 def _ts_micros(v) -> int | None:
     """Parquet footer timestamp statistic → epoch microseconds (UTC).
 
@@ -286,9 +301,7 @@ def _ts_micros(v) -> int | None:
     if v is None:
         return None
     if isinstance(v, datetime.datetime):
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=datetime.timezone.utc)
-        return int(v.timestamp() * 1_000_000)
+        return _dt_micros_exact(v)
     if isinstance(v, (int, float)):  # physical int64 micros
         return int(v)
     return None
@@ -296,12 +309,11 @@ def _ts_micros(v) -> int | None:
 
 def _bound_micros(v: "datetime.datetime | float | int") -> int:
     """User-facing time bound → epoch microseconds (naive datetime = UTC,
-    numbers = epoch seconds)."""
+    numbers = epoch seconds; rounded, so a float that *represents* a
+    whole microsecond converts to exactly it)."""
     if isinstance(v, datetime.datetime):
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=datetime.timezone.utc)
-        return int(v.timestamp() * 1_000_000)
-    return int(float(v) * 1_000_000)
+        return _dt_micros_exact(v)
+    return round(float(v) * 1_000_000)
 
 
 def _file_stats(
@@ -1911,12 +1923,15 @@ class SequenceTable:
             )
         micros = _bound_micros(min_event_time)
         kept = self._files_min_event_time(snap, micros)
-        # dirty buckets come from the FULL snapshot (ref-level aggregates,
-        # no segment bodies): a bucket whose delta was time-pruned must
-        # still resolve — its kept files can hold several versions of one
-        # key; clean buckets keep the engine's one-row-per-key invariant
-        # even under pruning (kept ⊆ their unique base rows)
-        dirty_buckets = set(self.delta_file_counts(snap))
+        # dirty = buckets with a DELTA among the KEPT files (read_state's
+        # rule applied to the pruned selection): only those can hold
+        # several versions of one key.  A bucket whose deltas were all
+        # time-pruned streams its kept base rows unresolved — base files
+        # are key-unique per bucket (create/compact/COW rewrite whole
+        # buckets), the same invariant read_state's clean path rides
+        dirty_buckets = {
+            e["bucket"] for e in kept if e.get("kind", "base") == "delta"
+        }
         dirty = [e for e in kept if e["bucket"] in dirty_buckets]
         clean = [e for e in kept if e["bucket"] not in dirty_buckets]
         state = self._read_files(spark, snap, clean)

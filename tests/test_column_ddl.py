@@ -205,3 +205,61 @@ def test_legacy_table_backfill_is_name_exact(spark, tmp_path):
     apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id="b0", mode="mor")
     assert "field_ids" in table.snapshot()
     assert table.read(spark).count() > 0
+
+
+def test_mor_retry_rederives_sv_after_racing_ddl(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency race the retry loop must absorb: a schema-
+    evolving MOR batch plans (sv=2, register=v1+quality) off the current
+    snapshot, but a concurrent add_column commits v2 with a DIFFERENT
+    shape first.  The retry must re-derive the version against the new
+    parent (bump to v3) and restamp the batch's entries — replaying the
+    stale pair would trip the same-version-different-schema guard on all
+    five attempts and fail the trigger.  Outcome must equal the already-
+    supported sequential order (DDL lands, then a stale-stamped batch)."""
+    import datetime
+
+    t = SequenceTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    base_schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, offset long, src_partition int, epoch long, "
+        "schema_version int, event_time timestamp"
+    )
+    apply_batch(
+        spark, t,
+        spark.createDataFrame([("d0", [1], 1, "a", "I", 1, 0, 0, 1, ts)],
+                              base_schema),
+        batch_id="0", compact_threshold=None)
+
+    orig = SequenceTable.commit
+    fired = {}
+
+    def racing(self, batch_id, *args, **kwargs):
+        if batch_id == "1" and not fired:
+            fired["x"] = True  # before the DDL: add_column commits via orig
+            self.add_column("other", T.StringType())
+        return orig(self, batch_id, *args, **kwargs)
+
+    monkeypatch.setattr(SequenceTable, "commit", racing)
+    ev_schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "quality double, op string, offset long, src_partition int, "
+        "epoch long, schema_version int, event_time timestamp"
+    )
+    r = apply_batch(
+        spark, t,
+        spark.createDataFrame(
+            [("d1", [2], 1, "b", 0.9, "I", 2, 0, 0, 2, ts)], ev_schema),
+        batch_id="1", compact_threshold=None)
+    assert fired and r.snapshot_id is not None
+    snap = t.snapshot()
+    # the DDL claimed v2, the batch re-derived to v3 — both registered
+    assert snap["schema_version"] == 3
+    assert set(snap["schemas"]) == {"1", "2", "3"}
+    names = [f.name for f in t.user_schema().fields]
+    # same outcome as the sequential order: the batch's shape (which
+    # post-dates the DDL) wins the tip; 'other' stays registered at v2
+    assert "quality" in names
+    got = {r2["doc_id"]: r2.asDict() for r2 in t.read(spark).collect()}
+    assert got["d1"]["quality"] == 0.9 and got["d0"]["quality"] is None
+    assert list(got["d0"]["tokens"]) == [1] and list(got["d1"]["tokens"]) == [2]

@@ -221,3 +221,30 @@ def test_property_random_history_random_bound(spark, tmp_path):
                 e.get("max_event_time") is None or e["max_event_time"] >= mic
                 for e in kept
             )
+
+
+def test_micros_conversion_is_exact():
+    """The float detour (int(dt.timestamp()*1e6)) truncates one microsecond
+    low for ~1% of instants — enough to unsoundly prune a file whose true
+    ceiling EQUALS the bound.  Conversions must be exact for every
+    microsecond, including ones the float path gets wrong."""
+    from cfe_39_spark.sources.table import _ts_micros
+
+    import random
+
+    rng = random.Random(1)
+    float_was_wrong = 0
+    # random instants across 1970-2096 plus a contiguous 2023 stretch
+    samples = [rng.randrange(0, 4_000_000_000_000_000) for _ in range(20_000)]
+    samples += list(range(1_700_000_000_000_000, 1_700_000_000_050_000, 7))
+    for m in samples:
+        dt = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc
+                               ) + datetime.timedelta(microseconds=m)
+        assert _ts_micros(dt) == m
+        assert _bound_micros(dt) == m
+        # float epoch-seconds spelling: nearest-double error < 0.5 us at
+        # these magnitudes, so round() recovers the exact microsecond
+        assert _bound_micros(m / 1_000_000) == m
+        if int(dt.timestamp() * 1_000_000) != m:
+            float_was_wrong += 1
+    assert float_was_wrong > 0, "sweep must cover instants the old math lost"

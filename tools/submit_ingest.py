@@ -246,14 +246,18 @@ def cmd_show(spark, args):
         "branches": t.branches(),
     }
     if args.min_event_time is not None:
+        from cfe_39_spark.sources.table import _bound_micros
+
         # time-pruned recent-state read: rows whose winning event is at or
         # after the bound, planning only files whose footer ceiling reaches
-        # it (table.py::read soundness note)
+        # it (table.py::read soundness note).  The planned-file count uses
+        # the SAME bound conversion as the read, so the diagnostic can
+        # never drift from the behavior it describes
         out["recent_rows"] = t.read(
             spark, sid, min_event_time=args.min_event_time
         ).count()
         out["recent_files_planned"] = len(
-            t._files_min_event_time(snap, int(args.min_event_time * 1_000_000))
+            t._files_min_event_time(snap, _bound_micros(args.min_event_time))
         )
     return out
 
