@@ -89,6 +89,10 @@ _FILE_ENTRY_SCHEMA = T.StructType([
     T.StructField("max_event_time", T.LongType()),
     T.StructField("schema_version", T.IntegerType()),
     T.StructField("kind", T.StringType()),
+    # bucket spec the file was written under (n_buckets at write time);
+    # null on entries predating spec stamping.  After evolve_bucket_spec,
+    # "SELECT spec_nb, count(*) GROUP BY spec_nb" is the migration gauge
+    T.StructField("spec_nb", T.IntegerType()),
 ])
 
 

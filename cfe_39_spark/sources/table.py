@@ -941,6 +941,10 @@ class SequenceTable:
             "n_files": len(entries),
             "n_rows": sum(int(e.get("rows", 0)) for e in entries),
             "delta_counts": dc,
+            # distinct bucket specs in this segment (0 = legacy/unknown):
+            # lets _files_for_buckets translate wanted current-spec buckets
+            # into each spec's id space before the disjointness test
+            "specs": sorted({int(e.get("spec_nb") or 0) for e in entries}),
             "buckets": sorted({int(e["bucket"]) for e in entries}),
             "min_doc_id": min(mins) if known else None,
             "max_doc_id": max(maxs) if known else None,
@@ -965,6 +969,37 @@ class SequenceTable:
             out.extend(self._load_manifest(ref))
         return out
 
+    # ------------------------------------------------------------------ #
+    # bucket-spec resolution (lazy spec evolution, evolve_bucket_spec)
+    #
+    # Invariant: every live spec s divides the current n_buckets B
+    # (evolve only multiplies; create/rebucket/compact write single-spec),
+    # so a key's bucket under s is its bucket under B taken mod s — every
+    # pruning site below translates current-spec bucket ids with one mod.
+    # ------------------------------------------------------------------ #
+    def _entry_spec(self, snap: dict, e: dict) -> int:
+        """The n_buckets a file entry's bucket id was computed under."""
+        return e.get("spec_nb") or self._parent_legacy_spec(snap)
+
+    def _min_live_spec(self, snap: dict) -> int:
+        """Smallest bucket spec among the snapshot's live files — the
+        granularity at which bucket GROUPS are key-disjoint across specs
+        (== n_buckets on a single-spec table, making every group check
+        collapse to the plain bucket check).  O(segments) off the refs'
+        ``specs`` aggregate; never loads a segment body."""
+        nb = snap["n_buckets"]
+        legacy = self._parent_legacy_spec(snap)
+        if "manifests" not in snap:
+            specs = {self._entry_spec(snap, e) for e in snap.get("files", [])}
+            return min(specs) if specs else nb
+        mn = nb
+        for ref in snap["manifests"]:
+            for s in ref.get("specs") or [0]:
+                s = s or legacy
+                if s < mn:
+                    mn = s
+        return mn
+
     def _files_for_buckets(
         self,
         snap: dict,
@@ -978,14 +1013,35 @@ class SequenceTable:
         range is disjoint from [lo, hi], is skipped WITHOUT loading its
         body.  Point lookups touch O(segments-with-the-key) metadata, not
         O(live files).  Refs lacking the aggregates (pre-upgrade) and v1
-        inline descriptors degrade to the full scan — superset-safe."""
+        inline descriptors degrade to the full scan — superset-safe.
+
+        ``wanted`` holds CURRENT-spec bucket ids; files written under an
+        older (coarser) spec match through the divisibility rule: a
+        spec-s file can hold a wanted key iff its bucket equals some
+        ``b % s``."""
+        legacy = self._parent_legacy_spec(snap)
+        nb = snap["n_buckets"]
+        per_spec: dict[int, set[int]] = {nb: set(wanted)}
+
+        def wanted_under(s: int) -> set[int]:
+            got = per_spec.get(s)
+            if got is None:
+                got = {b % s for b in wanted}
+                per_spec[s] = got
+            return got
+
+        def entry_hit(e: dict) -> bool:
+            return e["bucket"] in wanted_under(e.get("spec_nb") or legacy)
+
         if "manifests" not in snap:
-            return [e for e in snap["files"] if e["bucket"] in wanted]
+            return [e for e in snap["files"] if entry_hit(e)]
         out: list[dict] = []
         for ref in snap["manifests"]:
             bs = ref.get("buckets")
-            if bs is not None and wanted.isdisjoint(bs):
-                continue
+            if bs is not None:
+                ref_specs = {s or legacy for s in (ref.get("specs") or [0])}
+                if all(wanted_under(s).isdisjoint(bs) for s in ref_specs):
+                    continue
             rmin, rmax = ref.get("min_doc_id"), ref.get("max_doc_id")
             if (
                 lo is not None
@@ -994,7 +1050,7 @@ class SequenceTable:
                 and (rmax < lo or rmin > hi)
             ):
                 continue
-            out.extend(e for e in self._load_manifest(ref) if e["bucket"] in wanted)
+            out.extend(e for e in self._load_manifest(ref) if entry_hit(e))
         return out
 
     def _files_min_event_time(self, snap: dict, micros: int) -> list[dict]:
@@ -1026,6 +1082,12 @@ class SequenceTable:
                 or e["max_event_time"] >= micros
             )
         return out
+
+    def _parent_legacy_spec(self, parent: dict) -> int:
+        """The bucket spec of entries that predate spec stamping, under
+        ``parent``: explicit legacy marker if an evolution set one, else
+        the parent's own n_buckets (single-spec table)."""
+        return parent.get("legacy_spec_nb") or parent["n_buckets"]
 
     def _plan_manifests(
         self, sid: int, parent: dict, new_files: list[dict], carried_files
@@ -1079,12 +1141,21 @@ class SequenceTable:
                             consumed.add(e["path"])
             extra = [e for e in carried_files if e["path"] not in consumed]
             new_entries = pool + extra + list(new_files)
+        # stamp unstamped entries entering a NEW segment with their spec
+        # (a file's spec is a property of the file, constant across
+        # snapshots, so in-place setdefault is safe for cached lists):
+        # within freshly-written segments, spec_nb is then always explicit
+        legacy = self._parent_legacy_spec(parent)
+        for e in new_entries:
+            e.setdefault("spec_nb", legacy)
         refs_out = reused + (
             [self._write_manifest(sid, new_entries)] if new_entries else []
         )
-        return self._coalesce_manifests(sid, refs_out)
+        return self._coalesce_manifests(sid, refs_out, legacy)
 
-    def _coalesce_manifests(self, sid: int, refs: list[dict]) -> list[dict]:
+    def _coalesce_manifests(
+        self, sid: int, refs: list[dict], legacy_spec: int | None = None
+    ) -> list[dict]:
         """Bound the segment count: when the list exceeds the budget, merge
         the smallest segments into one, down to budget/2 — so a coalesce
         happens every ~budget/2 commits and mostly touches small segments
@@ -1096,6 +1167,9 @@ class SequenceTable:
         merged_entries: list[dict] = []
         for r in srt[:n_merge]:
             merged_entries.extend(self._load_manifest(r))
+        if legacy_spec is not None:
+            for e in merged_entries:
+                e.setdefault("spec_nb", legacy_spec)
         keep = srt[n_merge:]
         return keep + [self._write_manifest(sid, merged_entries)]
 
@@ -1322,6 +1396,14 @@ class SequenceTable:
                         "max_event_time": et_mx,
                         "schema_version": schema_version,
                         "kind": kind,
+                        # bucket-spec identity: the n_buckets this file's
+                        # bucket id was computed under.  Lazy spec evolution
+                        # (evolve_bucket_spec) leaves old-spec files in
+                        # place, so every bucket-pruning site resolves a
+                        # file's bucket AGAINST ITS OWN SPEC (divisibility
+                        # contract: live specs all divide the current B,
+                        # hence bucket-under-s == bucket-under-B % s)
+                        "spec_nb": n_buckets,
                     }
                 )
         return entries
@@ -1441,6 +1523,20 @@ class SequenceTable:
             fids[str(sv)] = dict(field_ids)
         else:
             fids = _backfill_field_ids(schemas, parent.get("field_ids"))
+        # legacy bucket spec: the n_buckets that file entries WITHOUT a
+        # spec_nb stamp were written under.  Set when a lazy spec evolution
+        # first changes n_buckets while carrying the parent's files by
+        # reference; dropped by full rewrites (rebucket carries nothing, so
+        # no unstamped entry survives); otherwise inherited unchanged.
+        legacy_spec = parent.get("legacy_spec_nb")
+        if (
+            n_buckets is not None
+            and n_buckets != parent["n_buckets"]
+            and carried_files is PARENT_FILES
+        ):
+            legacy_spec = legacy_spec or parent["n_buckets"]
+        elif n_buckets is not None and n_buckets != parent["n_buckets"]:
+            legacy_spec = None  # full rewrite: single spec again
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
@@ -1454,6 +1550,8 @@ class SequenceTable:
             "change_files": change_files or [],
             "lineage": lineage or {},
         }
+        if legacy_spec is not None:
+            snap["legacy_spec_nb"] = legacy_spec
         fs.write_json_atomic(self._snap_path(sid), snap)
         if lock is not None:
             # the pointer swap is the irreversible step: if our lock was
@@ -1859,16 +1957,22 @@ class SequenceTable:
         (same hash at write and read), so resolving per-bucket-group and
         unioning is equivalent to resolving the whole table — but at
         10^10 rows with 1 dirty bucket of 1024, it is ~1000x less shuffle.
+
+        Under mixed bucket specs (mid spec-evolution) the disjointness
+        unit is the GROUP: the bucket id under the smallest live spec
+        (``bucket % s_min`` — sound because every live spec divides the
+        current B).  Single-spec tables reduce to the plain bucket id.
         """
         snap = self.snapshot(snapshot_id)
         files = snap["files"]
-        delta_buckets = {
-            e["bucket"] for e in files if e.get("kind", "base") == "delta"
+        s_min = self._min_live_spec(snap)
+        delta_groups = {
+            e["bucket"] % s_min for e in files if e.get("kind", "base") == "delta"
         }
-        if not (resolve and delta_buckets):
+        if not (resolve and delta_groups):
             return self._read_files(spark, snap, files)
-        dirty = [e for e in files if e["bucket"] in delta_buckets]
-        clean = [e for e in files if e["bucket"] not in delta_buckets]
+        dirty = [e for e in files if e["bucket"] % s_min in delta_groups]
+        clean = [e for e in files if e["bucket"] % s_min not in delta_groups]
         out = lww_resolve(self._read_files(spark, snap, dirty))
         if clean:
             out = out.unionByName(self._read_files(spark, snap, clean))
@@ -1929,11 +2033,12 @@ class SequenceTable:
         # time-pruned streams its kept base rows unresolved — base files
         # are key-unique per bucket (create/compact/COW rewrite whole
         # buckets), the same invariant read_state's clean path rides
-        dirty_buckets = {
-            e["bucket"] for e in kept if e.get("kind", "base") == "delta"
+        s_min = self._min_live_spec(snap)
+        dirty_groups = {
+            e["bucket"] % s_min for e in kept if e.get("kind", "base") == "delta"
         }
-        dirty = [e for e in kept if e["bucket"] in dirty_buckets]
-        clean = [e for e in kept if e["bucket"] not in dirty_buckets]
+        dirty = [e for e in kept if e["bucket"] % s_min in dirty_groups]
+        clean = [e for e in kept if e["bucket"] % s_min not in dirty_groups]
         state = self._read_files(spark, snap, clean)
         if dirty:
             state = lww_resolve(self._read_files(spark, snap, dirty)).unionByName(
@@ -1985,13 +2090,20 @@ class SequenceTable:
         keep = []
         ids = sorted(key_bucket)
         # segment-level pruning first (bucket set + key range on the refs),
-        # then per-file min/max against the exact keys of the file's bucket
+        # then per-file min/max against the exact keys that hash into the
+        # file's bucket UNDER THE FILE'S OWN SPEC (an old-spec file during
+        # a lazy spec evolution matches keys via current-bucket % spec)
+        by_spec_bucket: dict[tuple[int, int], list[str]] = {}
         for e in self._files_for_buckets(snap, wanted, ids[0], ids[-1]):
-            b = e["bucket"]
+            s = self._entry_spec(snap, e)
+            cand = by_spec_bucket.get((s, e["bucket"]))
+            if cand is None:
+                cand = [d for d, b in key_bucket.items() if b % s == e["bucket"]]
+                by_spec_bucket[(s, e["bucket"])] = cand
             if e["min_doc_id"] is None or e["max_doc_id"] is None:
                 keep.append(e)
                 continue
-            if any(e["min_doc_id"] <= d <= e["max_doc_id"] for d in by_bucket[b]):
+            if any(e["min_doc_id"] <= d <= e["max_doc_id"] for d in cand):
                 keep.append(e)
         user_cols = [f.name for f in self.user_schema(snap).fields]
         state = lww_resolve(self._read_files(spark, snap, keep))
@@ -2208,16 +2320,36 @@ class SequenceTable:
             bounds = {r["_b"]: (r["lo"], r["hi"]) for r in stats}
             lo = min(b[0] for b in bounds.values())
             hi = max(b[1] for b in bounds.values())
-            files = [
-                e
-                for e in self._files_for_buckets(snap, set(bounds), lo, hi)
-                if e.get("min_doc_id") is None
-                or e.get("max_doc_id") is None
-                or not (
-                    e["max_doc_id"] < bounds[e["bucket"]][0]
-                    or e["min_doc_id"] > bounds[e["bucket"]][1]
-                )
-            ]
+            # per-file bound: an old-spec file (mid spec evolution) maps
+            # to every wanted current-spec bucket congruent to it, so its
+            # range check uses the union of those buckets' key bounds
+            spec_bounds: dict[tuple[int, int], "tuple[str, str] | None"] = {}
+
+            def file_bounds(e: dict) -> "tuple[str, str] | None":
+                s = self._entry_spec(snap, e)
+                key = (s, e["bucket"])
+                if key not in spec_bounds:
+                    hits = [
+                        bounds[b] for b in bounds if b % s == e["bucket"]
+                    ]
+                    spec_bounds[key] = (
+                        (min(h[0] for h in hits), max(h[1] for h in hits))
+                        if hits
+                        else None
+                    )
+                return spec_bounds[key]
+
+            files = []
+            for e in self._files_for_buckets(snap, set(bounds), lo, hi):
+                fb = file_bounds(e)
+                if fb is None:
+                    continue
+                if (
+                    e.get("min_doc_id") is None
+                    or e.get("max_doc_id") is None
+                    or not (e["max_doc_id"] < fb[0] or e["min_doc_id"] > fb[1])
+                ):
+                    files.append(e)
             if not files:
                 return None
             state = lww_resolve(self._read_files(spark, snap, files, user_schema=user))
@@ -2314,25 +2446,37 @@ class SequenceTable:
         min/max range can intersect the batch's key range for that bucket.
         Everything else is carried into the child snapshot untouched.
 
-        Exception: a touched bucket that holds merge-on-read DELTA files is
-        rewritten WHOLE (no range pruning).  A key can live in several
-        files there (base + deltas); pruning could pull one version into
-        the merge while carrying another, breaking the key-unique output
-        invariant.  Rewriting the bucket makes the COW merge double as its
-        compaction — after it, the bucket is fully resolved base files.
+        Exception: a touched bucket GROUP that holds merge-on-read DELTA
+        files — or files written under an older bucket spec (mid lazy
+        spec evolution) — is rewritten WHOLE (no range pruning).  A key
+        can live in several files there (base + deltas, or old-spec base
+        + new-spec base); pruning could pull one version into the merge
+        while carrying another, breaking the key-unique output invariant.
+        Rewriting the group makes the COW merge double as its compaction
+        AND its spec migration — after it, the group is fully resolved
+        current-spec base files.  On a single-spec table a group IS a
+        bucket, so this reduces exactly to the old per-bucket rule.
         """
-        delta_buckets = {
-            e["bucket"]
+        nb = snap["n_buckets"]
+        s_min = self._min_live_spec(snap)
+        touched_groups = {b % s_min for b in touched_buckets}
+        force_groups = {
+            e["bucket"] % s_min
             for e in snap["files"]
-            if e.get("kind", "base") == "delta" and e["bucket"] in touched_buckets
+            if e["bucket"] % s_min in touched_groups
+            and (
+                e.get("kind", "base") == "delta"
+                or self._entry_spec(snap, e) != nb
+            )
         }
         rewrite, carry = [], []
         for e in snap["files"]:
             b = e["bucket"]
+            if b % s_min in force_groups:
+                rewrite.append(e)
+                continue
+            # a non-forced file is current-spec base in a delta-free group
             if b in touched_buckets:
-                if b in delta_buckets:
-                    rewrite.append(e)
-                    continue
                 lo, hi = key_bounds.get(b, (None, None))
                 if (
                     e["min_doc_id"] is None
@@ -2348,20 +2492,28 @@ class SequenceTable:
     # maintenance: merge-on-read compaction
     # ------------------------------------------------------------------ #
     def delta_file_counts(self, snap: dict | None = None) -> dict[int, int]:
-        """Delta files per bucket — the read-amplification gauge.  Runs
-        every trigger (the compaction trip-wire), so it reads the
+        """Delta files per bucket GROUP — the read-amplification gauge.
+        Runs every trigger (the compaction trip-wire), so it reads the
         per-segment aggregates off the manifest references and never loads
-        a segment body: O(segments) driver work, not O(live files)."""
+        a segment body: O(segments) driver work, not O(live files).
+
+        Keys are group ids under the smallest live spec — the unit
+        ``compact`` rewrites.  ``bucket % s_min`` maps a bucket of ANY
+        live spec to its group (divisibility rule), so no per-entry spec
+        is needed; on a single-spec table group == bucket, unchanged."""
         snap = snap or self.snapshot()
+        s_min = self._min_live_spec(snap)
         out: dict[int, int] = {}
         if "manifests" in snap:
             for ref in snap["manifests"]:
                 for b, n in ref.get("delta_counts", {}).items():
-                    out[int(b)] = out.get(int(b), 0) + int(n)
+                    g = int(b) % s_min
+                    out[g] = out.get(g, 0) + int(n)
             return out
         for e in snap["files"]:
             if e.get("kind", "base") == "delta":
-                out[e["bucket"]] = out.get(e["bucket"], 0) + 1
+                g = e["bucket"] % s_min
+                out[g] = out.get(g, 0) + 1
         return out
 
     def compact(
@@ -2369,13 +2521,26 @@ class SequenceTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         drop_tombstones_before: "datetime.datetime | str | None" = None,
+        migrate_specs: bool = False,
     ) -> int | None:
-        """Rewrite the given buckets (default: every bucket holding deltas)
-        as LWW-resolved base files and drop their deltas — the background
-        job that keeps merge-on-read read amplification bounded.  Commit is
-        idempotent on the parent snapshot id; tombstones are retained BY
-        DEFAULT (they carry the _last_offset watermark that keeps late
-        redeliveries no-ops).
+        """Rewrite the given bucket groups (default: every group holding
+        deltas) as LWW-resolved base files and drop their deltas — the
+        background job that keeps merge-on-read read amplification bounded.
+        Commit is idempotent on the parent snapshot id; tombstones are
+        retained BY DEFAULT (they carry the _last_offset watermark that
+        keeps late redeliveries no-ops).
+
+        The rewrite unit is the GROUP (bucket id under the smallest live
+        spec — identical to the bucket on a single-spec table): all of a
+        group's files, whatever spec they were written under, merge into
+        current-spec base files, so compaction doubles as the incremental
+        migration path after ``evolve_bucket_spec``.  ``migrate_specs=True``
+        additionally targets groups that still hold old-spec files even
+        when they carry no deltas — run it (optionally a few groups per
+        call via ``buckets``) until ``inspect("files")`` shows a single
+        spec; at 10^10 rows this spreads the one-off rewrite over as many
+        maintenance windows as you like instead of one monolithic
+        ``rebucket``.
 
         ``drop_tombstones_before`` bounds delete-heavy growth: on a
         10^10-event stream with churn, tombstones otherwise accumulate
@@ -2390,12 +2555,21 @@ class SequenceTable:
         trade); redeliveries at or after the watermark still no-op against
         the retained tombstones."""
         snap = self.snapshot()
-        with_deltas = set(self.delta_file_counts(snap))
-        buckets = sorted(with_deltas if buckets is None else set(buckets) & with_deltas)
-        if not buckets:
+        s_min = self._min_live_spec(snap)
+        nb = snap["n_buckets"]
+        candidates = set(self.delta_file_counts(snap))
+        if migrate_specs:
+            candidates |= {
+                e["bucket"] % s_min
+                for e in snap["files"]
+                if self._entry_spec(snap, e) != nb
+            }
+        groups = set(candidates if buckets is None else set(buckets) & candidates)
+        if not groups:
             return None
-        target = [e for e in snap["files"] if e["bucket"] in set(buckets)]
-        rest = [e for e in snap["files"] if e["bucket"] not in set(buckets)]
+        buckets = sorted(groups)
+        target = [e for e in snap["files"] if e["bucket"] % s_min in groups]
+        rest = [e for e in snap["files"] if e["bucket"] % s_min not in groups]
         resolved = lww_resolve(self._read_files(spark, snap, target))
         if drop_tombstones_before is not None:
             resolved = resolved.filter(
@@ -2429,6 +2603,49 @@ class SequenceTable:
     # maintenance: rebucketing (SURVEY.md §4.2 O2 — "B fixed per table,
     # rebucketing = maintenance op")
     # ------------------------------------------------------------------ #
+    def evolve_bucket_spec(self, new_n_buckets: int) -> int | None:
+        """Grow the bucket spec WITHOUT rewriting a byte of data — the
+        Iceberg partition-spec-evolution role (Iceberg spec §partition-
+        evolution; SURVEY.md §4.2 O2).
+
+        A metadata-only commit: existing files stay in place under their
+        old spec; every subsequent write (MOR deltas, COW merges,
+        compaction, create-like rewrites) lands under the new spec, and
+        compaction migrates old groups incrementally (``compact(...,
+        migrate_specs=True)``).  At 10^10 rows this is THE way to grow B:
+        ``rebucket`` is a full-table rewrite in one commit, while this is
+        O(1) now plus O(group) rewrites amortized over normal maintenance.
+
+        Divisibility contract: ``new_n_buckets`` must be a strict multiple
+        of the current count.  That makes a key's bucket under any live
+        spec derivable from its current bucket (``b % s``), which is what
+        keeps every pruning site (lookup, manifest skipping, COW planning,
+        dirty-group resolution) exact during the migration window.
+        Returns the new snapshot id, or None if the count is unchanged.
+        """
+        snap = self.snapshot()
+        cur = snap["n_buckets"]
+        if new_n_buckets == cur:
+            return None
+        if new_n_buckets < cur or new_n_buckets % cur != 0:
+            raise ValueError(
+                f"evolve_bucket_spec requires a strict multiple of the "
+                f"current bucket count ({cur}); got {new_n_buckets}. "
+                "Shrinking or non-multiple growth needs rebucket() — a "
+                "full rewrite."
+            )
+        return self.commit(
+            f"__evolve__-{snap['snapshot_id']}-{new_n_buckets}",
+            [],
+            PARENT_FILES,
+            lineage={
+                "spec_evolved_from": cur,
+                "spec_evolved_to": new_n_buckets,
+            },
+            n_buckets=new_n_buckets,
+            expected_parent_id=snap["snapshot_id"],
+        )
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int | None:
         """Rewrite the table into ``new_n_buckets`` doc_id hash buckets.
 

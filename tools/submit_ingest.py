@@ -137,9 +137,19 @@ def cmd_compact(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
     t = SequenceTable(args.table)
-    sid = t.compact(spark, drop_tombstones_before=args.drop_tombstones_before)
+    sid = t.compact(spark, drop_tombstones_before=args.drop_tombstones_before,
+                    migrate_specs=args.migrate_specs)
     return {"snapshot_id": sid if sid is not None else t.latest_snapshot_id(),
             "compacted": sid is not None}
+
+
+def cmd_evolve_spec(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    sid = t.evolve_bucket_spec(args.n_buckets)
+    return {"snapshot_id": sid if sid is not None else t.latest_snapshot_id(),
+            "evolved": sid is not None, "n_buckets": args.n_buckets}
 
 
 def cmd_rollback(spark, args):
@@ -345,6 +355,17 @@ def parse_args(argv):
     k.add_argument("--drop-tombstones-before", default=None,
                    help="event-time watermark: physically drop older "
                         "tombstones during the rewrite (late-data contract)")
+    k.add_argument("--migrate-specs", action="store_true",
+                   help="also rewrite delta-free groups still holding "
+                        "old-bucket-spec files (incremental migration "
+                        "after evolve-spec)")
+
+    ev = sub.add_parser("evolve-spec",
+                        help="grow the bucket count metadata-only (lazy "
+                             "partition-spec evolution; new count must be "
+                             "a multiple of the current one)")
+    ev.add_argument("--table", required=True)
+    ev.add_argument("--n-buckets", type=int, required=True)
 
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
@@ -441,6 +462,7 @@ COMMANDS = {
     "mirror": cmd_mirror,
     "rollback": cmd_rollback,
     "compact": cmd_compact,
+    "evolve-spec": cmd_evolve_spec,
     "expire": cmd_expire,
     "tag": cmd_tag,
     "branch": cmd_branch,
