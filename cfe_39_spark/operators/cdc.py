@@ -794,15 +794,22 @@ def _apply_mor(
     }
     # Optimistic-concurrency commit loop: a MOR apply's delta files are
     # parent-independent, so a conflicting concurrent commit only requires
-    # re-planning the carried manifest against the new parent — unless the
-    # table was rebucketed underneath us (delta bucket metadata would lie).
+    # re-planning the carried manifest against the new parent.  A bucket-
+    # count change mid-apply is fine when the new count is a MULTIPLE of
+    # the planned one (a lazy evolve_bucket_spec, or a rebucket to a finer
+    # multiple): the deltas are stamped spec_nb=planned, which is then
+    # simply one more live spec the group-based read resolution handles —
+    # the online-resize race costs nothing.  Only an incompatible count
+    # (shrink / non-multiple full rebucket) invalidates the stamped
+    # layout and forces a whole-batch retry.
     sid: int | None = None
     for _ in range(5):
         cur = snap if table.latest_snapshot_id() == snap["snapshot_id"] else table.snapshot()
-        if cur["n_buckets"] != n_buckets:
+        if cur["n_buckets"] % n_buckets != 0:
             raise CommitConflictError(
-                f"table rebucketed {n_buckets}->{cur['n_buckets']} mid-apply; "
-                "delta bucket layout is stale — retry the whole batch"
+                f"table rebucketed {n_buckets}->{cur['n_buckets']} mid-apply "
+                "(not a multiple); delta bucket layout is stale — retry "
+                "the whole batch"
             )
         if cur is not snap and register is not None:
             # a concurrent commit (e.g. column DDL) may have claimed this

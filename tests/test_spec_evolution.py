@@ -276,6 +276,63 @@ def test_double_evolve_three_live_specs(spark, tmp_path):
     assert_state_equal(t.read(spark), fx["expected"])
 
 
+def test_evolve_racing_inflight_apply_commits_seamlessly(spark, tmp_path, monkeypatch):
+    """An evolve landing between a MOR apply's delta write and its commit
+    must NOT fail the trigger: the deltas are stamped with the planned
+    (still live, divisibility-compatible) spec, so the commit proceeds and
+    reads resolve them as old-spec files — the online-resize race is
+    free.  An INCOMPATIBLE mid-apply change (non-multiple rebucket) must
+    still raise."""
+    fx = _fixture(tmp_path)
+    segs = _segments(tmp_path)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    _apply_all(spark, t, segs[:3])
+
+    orig = SequenceTable.commit
+    fired = {}
+
+    def racing(self, batch_id, *args, **kwargs):
+        if str(batch_id).startswith("3") and "x" not in fired:
+            fired["x"] = True
+            self.evolve_bucket_spec(8)  # commits via orig underneath
+        return orig(self, batch_id, *args, **kwargs)
+
+    monkeypatch.setattr(SequenceTable, "commit", racing)
+    _apply_all(spark, t, segs[3:4], start=3)
+    monkeypatch.setattr(SequenceTable, "commit", orig)
+    assert fired
+    snap = t.snapshot()
+    assert snap["n_buckets"] == 8
+    # batch 3's deltas landed under the planned spec 4 post-evolve
+    assert 4 in _specs_in_files(t)
+    _apply_all(spark, t, segs[4:], start=4)
+    assert_state_equal(t.read(spark), fx["expected"])
+
+
+def test_incompatible_rebucket_mid_apply_still_raises(spark, tmp_path, monkeypatch):
+    from cfe_39_spark.sources.table import CommitConflictError
+
+    fx = _fixture(tmp_path)
+    segs = _segments(tmp_path)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    _apply_all(spark, t, segs[:2])
+
+    orig = SequenceTable.commit
+    fired = {}
+
+    def racing(self, batch_id, *args, **kwargs):
+        if str(batch_id).startswith("2") and "x" not in fired:
+            fired["x"] = True
+            self.rebucket(spark, 6)  # NOT a multiple of 4
+        return orig(self, batch_id, *args, **kwargs)
+
+    monkeypatch.setattr(SequenceTable, "commit", racing)
+    with pytest.raises(CommitConflictError, match="not a multiple"):
+        _apply_all(spark, t, segs[2:3], start=2)
+
+
 def test_inspect_files_shows_spec_migration_gauge(spark, tmp_path):
     fx = _fixture(tmp_path)
     segs = _segments(tmp_path)
