@@ -591,7 +591,9 @@ def apply_batch(
     ]
     merged = j.select(merged_cols)
 
-    new_files = table._write_data_files(merged, n_buckets, sv, batch_tag=bid)
+    new_files = table._write_data_files(
+        merged, n_buckets, sv, batch_tag=bid, sort_cols=snap.get("sort_order")
+    )
 
     # ---- S10: explicit change set (Delta-CDF role).  COW base files mix
     # rewritten-but-unchanged rows with real changes, so the feed must be
@@ -730,7 +732,8 @@ def _apply_mor(
         delta = validate_tokens_arrow(delta)
     t_w = time.monotonic()
     new_files = table._write_data_files(
-        delta, n_buckets, sv if sv is not None else 0, batch_tag=bid, kind="delta"
+        delta, n_buckets, sv if sv is not None else 0, batch_tag=bid, kind="delta",
+        sort_cols=snap.get("sort_order"),
     )
     got = obs.get if parts else {}
     applied_rows = [

@@ -55,8 +55,11 @@ def cmd_bootstrap(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
     initial = spark.read.parquet(args.initial) if args.initial else None
-    SequenceTable.create(spark, args.table, initial, n_buckets=args.buckets)
-    return {"table": args.table, "snapshot_id": 1, "n_buckets": args.buckets}
+    so = args.sort_order.split(",") if args.sort_order else None
+    SequenceTable.create(spark, args.table, initial, n_buckets=args.buckets,
+                         sort_order=so)
+    return {"table": args.table, "snapshot_id": 1, "n_buckets": args.buckets,
+            "sort_order": so}
 
 
 def cmd_stream(spark, args):
@@ -305,6 +308,10 @@ def parse_args(argv):
     b.add_argument("--table", required=True)
     b.add_argument("--initial", help="parquet snapshot to seed from")
     b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--sort-order", default=None,
+                   help="comma-separated columns every write locally sorts "
+                        "by within bucket files (row-group skipping for "
+                        "point lookups; costs one local sort per write)")
 
     s = sub.add_parser("stream", help="tail the change log (S1/S7)")
     s.add_argument("--log", required=True)
