@@ -2138,6 +2138,56 @@ class SequenceTable:
             .select(user_cols)
         )
 
+    def scan_range(
+        self,
+        spark: SparkSession,
+        lo: str,
+        hi: str,
+        snapshot_id: "int | str | None" = None,
+    ) -> DataFrame:
+        """Key-range read: live user rows with ``lo <= doc_id <= hi`` at
+        file-skipping cost — O(files whose footer key range intersects),
+        never O(table).  Hash bucketing scatters a key range across all
+        buckets, so unlike ``lookup`` there is no bucket pruning; the
+        skipping layers here are the footer ``[min_doc_id, max_doc_id]``
+        per file (tight when the table has a ``sort_order``) and, inside
+        kept files, parquet row-group stats via the pushed-down BETWEEN.
+
+        Sound under MOR for the same reason ``lookup`` is: every version
+        of an in-range key lives in a file whose range contains the key
+        (hence intersects [lo, hi] and is kept), so the subset winner IS
+        the true winner; an out-of-range key may resolve against partial
+        history, but its winner's own doc_id is out of range and the
+        post-filter drops it.  Dirty-group resolution as in
+        ``read_state`` (mixed-spec safe)."""
+        if lo > hi:
+            raise ValueError(f"empty range: {lo!r} > {hi!r}")
+        snap = self.snapshot(snapshot_id)
+        kept = [
+            e
+            for e in snap["files"]
+            if e.get("min_doc_id") is None
+            or e.get("max_doc_id") is None
+            or not (e["max_doc_id"] < lo or e["min_doc_id"] > hi)
+        ]
+        s_min = self._min_live_spec(snap)
+        dirty_groups = {
+            e["bucket"] % s_min for e in kept if e.get("kind", "base") == "delta"
+        }
+        dirty = [e for e in kept if e["bucket"] % s_min in dirty_groups]
+        clean = [e for e in kept if e["bucket"] % s_min not in dirty_groups]
+        state = self._read_files(spark, snap, clean)
+        if dirty:
+            state = lww_resolve(self._read_files(spark, snap, dirty)).unionByName(
+                state
+            )
+        user_cols = [f.name for f in self.user_schema(snap).fields]
+        return (
+            state.filter(F.col("doc_id").between(F.lit(lo), F.lit(hi)))
+            .filter(~F.col("_deleted"))
+            .select(user_cols)
+        )
+
     # ------------------------------------------------------------------ #
     # incremental changelog scan (S10) — the CDC *read* surface
     # ------------------------------------------------------------------ #

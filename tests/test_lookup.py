@@ -95,3 +95,66 @@ def test_lookup_prunes_manifest_segments(spark, tmp_path, monkeypatch):
     # buckets, so a 1-key lookup must skip most of them
     assert len(set(loads) - {None}) < n_total, (loads, n_total)
     assert len(loads) <= max(n_total // 2, 1), (len(loads), n_total)
+
+
+def test_scan_range_matches_filtered_full_read(spark, tmp_path):
+    fx, t = _setup(spark, tmp_path)
+    live = sorted(r["doc_id"] for r in t.read(spark).select("doc_id").collect())
+    lo, hi = live[len(live) // 4], live[3 * len(live) // 4]
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in t.read(spark).filter(f"doc_id >= '{lo}' AND doc_id <= '{hi}'").collect()
+    }
+    got = {r["doc_id"]: r.asDict() for r in t.scan_range(spark, lo, hi).collect()}
+    assert got == exp
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.scan_range(spark, "z", "a")
+
+
+def test_scan_range_skips_files_on_sorted_table(spark, tmp_path):
+    """With a write sort_order the footer key ranges are tight, so a
+    narrow range scan must plan strictly fewer files than a full read."""
+    import glob as _glob
+
+    from cfe_39_spark.fixtures import GenConfig, write_fixture
+
+    fx = write_fixture(
+        str(tmp_path / "fx2"),
+        GenConfig(n_docs_initial=60, n_events=240, n_segments=4,
+                  dup_rate=0.1, seed=211),
+    )
+    init = spark.read.parquet(str(tmp_path / "fx2" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t2"), init, n_buckets=8,
+                             sort_order=["doc_id"])
+    segs = sorted(_glob.glob(str(tmp_path / "fx2" / "segments" / "*.parquet")))
+    for i, seg in enumerate(segs):
+        apply_batch(spark, t, spark.read.parquet(seg), batch_id=i)
+    t.compact(spark)
+    live = sorted(r["doc_id"] for r in t.read(spark).select("doc_id").collect())
+    lo = hi = live[0]  # the narrowest range
+    full_files = set(t.read(spark).inputFiles())
+    got = t.scan_range(spark, lo, hi)
+    assert [r["doc_id"] for r in got.collect()] == [lo]
+    scan_files = set(got.inputFiles())
+    assert scan_files and scan_files < full_files
+
+
+def test_scan_range_mixed_specs(spark, tmp_path):
+    fx, t = _setup(spark, tmp_path, n_buckets=4)
+    t.evolve_bucket_spec(8)
+    # extra updates after the evolve: range scan must see their winners
+    import glob as _glob
+
+    segs = sorted(_glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    apply_batch(spark, t, spark.read.parquet(segs[0]), batch_id="re-deliver",
+                compact_threshold=None)
+    live = sorted(r["doc_id"] for r in t.read(spark).select("doc_id").collect())
+    lo, hi = live[0], live[len(live) // 2]
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in t.read(spark).filter(f"doc_id >= '{lo}' AND doc_id <= '{hi}'").collect()
+    }
+    got = {r["doc_id"]: r.asDict() for r in t.scan_range(spark, lo, hi).collect()}
+    assert got == exp
