@@ -382,6 +382,8 @@ class SequenceTable:
         user_schema: T.StructType = SEQUENCE_SCHEMA_V1,
         schema_version: int = 1,
         sort_order: list[str] | None = None,
+        bloom_filter_cols: list[str] | None = None,
+        bloom_filter_ndv: int | None = None,
     ) -> "SequenceTable":
         """``sort_order`` (opt-in, Iceberg write.sort-order role): column
         names every data write locally sorts by WITHIN each bucket file
@@ -390,15 +392,40 @@ class SequenceTable:
         and key-range scans skip row groups inside the files bucket
         pruning already narrowed to — the intra-file layer of the same
         skipping stack.  Costs one local sort per write; leave None on
-        ingest-bound tables where scan latency doesn't matter."""
+        ingest-bound tables where scan latency doesn't matter.
+
+        ``bloom_filter_cols`` (opt-in, Iceberg write.parquet.bloom-filter-
+        enabled.column.* role): columns every data write builds a parquet
+        bloom filter for (``parquet.bloom.filter.enabled#col`` writer
+        option — built by parquet-mr inside the existing write job, no
+        extra pass).  The skipping layer sort_order cannot provide:
+        an equality lookup on an UNSORTED table skips row groups whose
+        bloom rejects the key, even though min/max stats there span the
+        whole key space.  ``bloom_filter_ndv`` optionally hints expected
+        distinct values per file so parquet-mr sizes the filter exactly
+        (unset → its adaptive/max-bytes sizing, ~<1% of a full row
+        group).  Both persist as table properties inherited by every
+        commit (MOR deltas, COW merges, compaction, rebucket)."""
         t = cls(root)
         if fs.exists(os.path.join(t.meta_dir, "_LATEST")):
             raise ValueError(f"table already exists at {root}")
+        known = {f.name for f in user_schema.fields}
         if sort_order:
-            known = {f.name for f in user_schema.fields}
             bad = [c for c in sort_order if c not in known]
             if bad:
                 raise ValueError(f"sort_order columns not in schema: {bad}")
+        bloom: dict | None = None
+        if bloom_filter_cols:
+            bad = [c for c in bloom_filter_cols if c not in known]
+            if bad:
+                raise ValueError(f"bloom_filter columns not in schema: {bad}")
+            bloom = {"cols": list(bloom_filter_cols)}
+            if bloom_filter_ndv is not None:
+                if bloom_filter_ndv <= 0:
+                    raise ValueError("bloom_filter_ndv must be positive")
+                bloom["ndv"] = int(bloom_filter_ndv)
+        elif bloom_filter_ndv is not None:
+            raise ValueError("bloom_filter_ndv given without bloom_filter_cols")
         files: list[dict] = []
         if initial is not None:
             stamped = (
@@ -411,7 +438,7 @@ class SequenceTable:
             )
             files = t._write_data_files(
                 stamped, n_buckets, schema_version, batch_tag="init",
-                sort_cols=sort_order,
+                sort_cols=sort_order, bloom=bloom,
             )
         snap = {
             "snapshot_id": 1,
@@ -430,6 +457,8 @@ class SequenceTable:
         }
         if sort_order:
             snap["sort_order"] = list(sort_order)
+        if bloom:
+            snap["bloom_filter"] = bloom
         fs.write_json_atomic(t._snap_path(1), snap)
         fs.write_atomic(os.path.join(t.meta_dir, "_LATEST"), "1")
         t._write_marker("__create__", 1)
@@ -1364,13 +1393,17 @@ class SequenceTable:
         batch_tag: str,
         kind: str = "base",
         sort_cols: "list[str] | None" = None,
+        bloom: "dict | None" = None,
     ) -> list[dict]:
         """Write one commit's data files, bucketed by doc_id hash; return
         their manifest entries.  ``repartition(_bucket)`` then
         ``partitionBy(_bucket)`` yields ~one file per touched bucket.
         ``sort_cols`` (the table's opt-in sort order): a LOCAL sort within
         each bucket partition before writing — no extra shuffle; row-group
-        stats on the sort key become tight for intra-file skipping."""
+        stats on the sort key become tight for intra-file skipping.
+        ``bloom`` (the table's opt-in ``bloom_filter`` property,
+        ``{"cols": [...], "ndv": N?}``): per-column parquet bloom
+        filters, built by parquet-mr inside this same write job."""
         nonce = uuid.uuid4().hex[:8]
         out_dir = os.path.join(self.data_dir, f"commit-{batch_tag}-{nonce}")
         staged = df.withColumn("_bucket", bucket_expr("doc_id", n_buckets)).repartition(
@@ -1378,7 +1411,15 @@ class SequenceTable:
         )
         if sort_cols:
             staged = staged.sortWithinPartitions("_bucket", *sort_cols)
-        staged.write.partitionBy("_bucket").parquet(out_dir)
+        writer = staged.write
+        if bloom:
+            for c in bloom["cols"]:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                if bloom.get("ndv"):
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", str(bloom["ndv"])
+                    )
+        writer.partitionBy("_bucket").parquet(out_dir)
         # restart the orphan-grace clock now the write is COMPLETE: the
         # dir's top-level mtime dates from job start (task files land in
         # subdirs), so a write longer than the grace would otherwise look
@@ -1577,6 +1618,8 @@ class SequenceTable:
             snap["legacy_spec_nb"] = legacy_spec
         if parent.get("sort_order"):
             snap["sort_order"] = parent["sort_order"]
+        if parent.get("bloom_filter"):
+            snap["bloom_filter"] = parent["bloom_filter"]
         fs.write_json_atomic(self._snap_path(sid), snap)
         if lock is not None:
             # the pointer swap is the irreversible step: if our lock was
@@ -2659,7 +2702,7 @@ class SequenceTable:
             snap["n_buckets"],
             snap["schema_version"],
             batch_tag=f"compact{snap['snapshot_id']}",
-            sort_cols=snap.get("sort_order"),
+            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
         )
         lineage: dict[str, Any] = {"compacted_buckets": buckets}
         if drop_tombstones_before is not None:
@@ -2748,7 +2791,7 @@ class SequenceTable:
             state,
             new_n_buckets,
             snap["schema_version"],
-            sort_cols=snap.get("sort_order"),
+            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
             batch_tag=f"rebucket{snap['snapshot_id']}",
         )
         return self.commit(

@@ -56,10 +56,12 @@ def cmd_bootstrap(spark, args):
 
     initial = spark.read.parquet(args.initial) if args.initial else None
     so = args.sort_order.split(",") if args.sort_order else None
+    bf = args.bloom_filter.split(",") if args.bloom_filter else None
     SequenceTable.create(spark, args.table, initial, n_buckets=args.buckets,
-                         sort_order=so)
+                         sort_order=so, bloom_filter_cols=bf,
+                         bloom_filter_ndv=args.bloom_ndv)
     return {"table": args.table, "snapshot_id": 1, "n_buckets": args.buckets,
-            "sort_order": so}
+            "sort_order": so, "bloom_filter": bf}
 
 
 def cmd_stream(spark, args):
@@ -312,6 +314,12 @@ def parse_args(argv):
                    help="comma-separated columns every write locally sorts "
                         "by within bucket files (row-group skipping for "
                         "point lookups; costs one local sort per write)")
+    b.add_argument("--bloom-filter", default=None,
+                   help="comma-separated columns every write builds parquet "
+                        "bloom filters for (row-group skipping on equality "
+                        "lookups without requiring a sort order)")
+    b.add_argument("--bloom-ndv", type=int, default=None,
+                   help="expected distinct values per file for bloom sizing")
 
     s = sub.add_parser("stream", help="tail the change log (S1/S7)")
     s.add_argument("--log", required=True)
