@@ -71,11 +71,12 @@ def test_merge_file_pruning_unit():
 
     t = SequenceTable.__new__(SequenceTable)
     snap = {
+        "n_buckets": 2,
         "files": [
             {"bucket": 0, "min_doc_id": "a", "max_doc_id": "c", "path": "f0"},
             {"bucket": 0, "min_doc_id": "x", "max_doc_id": "z", "path": "f1"},
             {"bucket": 1, "min_doc_id": "a", "max_doc_id": "z", "path": "f2"},
-        ]
+        ],
     }
     rewrite, carry = t.plan_merge_files(snap, {0}, {0: ("b", "d")})
     assert [e["path"] for e in rewrite] == ["f0"]  # overlaps b..d

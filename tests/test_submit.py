@@ -43,7 +43,8 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
     r = run_cli(capsys, "bootstrap", "--table", table,
                 "--initial", str(tmp_path / "fx" / "initial.parquet"),
                 "--buckets", "4")
-    assert r == {"table": table, "snapshot_id": 1, "n_buckets": 4}
+    assert r == {"table": table, "snapshot_id": 1, "n_buckets": 4,
+                 "sort_order": None, "bloom_filter": None}
 
     r = run_cli(capsys, "replay", "--log", log, "--table", table)
     assert r["batches"] == 4
