@@ -109,6 +109,44 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
     assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
 
 
+def test_submit_dml_cmds(spark, tmp_path, capsys):
+    """delete-where / update-where on the operational surface: rows go,
+    values change (n_tok recomputed), no-match commits nothing."""
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=20, n_events=80, n_segments=2, seed=131),
+    )
+    table = str(tmp_path / "t")
+    run_cli(capsys, "bootstrap", "--table", table,
+            "--initial", str(tmp_path / "fx" / "initial.parquet"),
+            "--buckets", "4")
+    run_cli(capsys, "replay", "--log", str(tmp_path / "fx" / "segments"),
+            "--table", table)
+    exp = fx["expected"].copy()
+    victim = sorted(exp["doc_id"])[0]
+
+    r = run_cli(capsys, "delete-where", "--table", table,
+                "--predicate", f"doc_id = '{victim}'")
+    assert r["deleted"] and r["rows_affected"] == 1
+    exp = exp[exp["doc_id"] != victim].reset_index(drop=True)
+
+    r = run_cli(capsys, "update-where", "--table", table,
+                "--predicate", "n_tok >= 1",
+                "--set", "source='cli-fixed'",
+                "--set", "tokens=slice(tokens, 1, 1)")
+    assert r["updated"] and r["rows_affected"] == int((exp["n_tok"] >= 1).sum())
+    m = exp["n_tok"] >= 1
+    exp.loc[m, "source"] = "cli-fixed"
+    exp.loc[m, "tokens"] = exp.loc[m, "tokens"].map(lambda a: a[:1])
+    exp.loc[m, "n_tok"] = 1
+    assert_state_equal(SequenceTable(table).read(spark), exp)
+
+    r = run_cli(capsys, "delete-where", "--table", table,
+                "--predicate", "doc_id = 'no-such'")
+    assert r == {"deleted": False, "rows_affected": 0,
+                 "snapshot_id": SequenceTable(table).latest_snapshot_id()}
+
+
 def test_submit_stream_cmd(spark, tmp_path, capsys):
     fx = write_fixture(
         str(tmp_path / "fx"),

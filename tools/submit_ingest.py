@@ -157,6 +157,38 @@ def cmd_evolve_spec(spark, args):
             "evolved": sid is not None, "n_buckets": args.n_buckets}
 
 
+def cmd_delete_where(spark, args):
+    from cfe_39_spark.operators.dml import delete_where
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    r = delete_where(spark, t, args.predicate)
+    if r is None:
+        return {"deleted": False, "rows_affected": 0,
+                "snapshot_id": t.latest_snapshot_id()}
+    return {"deleted": True, "rows_affected": r.rows_affected,
+            "groups_rewritten": r.groups_rewritten, "snapshot_id": r.snapshot_id}
+
+
+def cmd_update_where(spark, args):
+    from cfe_39_spark.operators.dml import update_where
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    set_exprs = {}
+    for kv in args.set:
+        col, _, expr = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects col=expr, got {kv!r}")
+        set_exprs[col.strip()] = expr
+    r = update_where(spark, t, set_exprs, args.predicate)
+    if r is None:
+        return {"updated": False, "rows_affected": 0,
+                "snapshot_id": t.latest_snapshot_id()}
+    return {"updated": True, "rows_affected": r.rows_affected,
+            "groups_rewritten": r.groups_rewritten, "snapshot_id": r.snapshot_id}
+
+
 def cmd_rollback(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -382,6 +414,23 @@ def parse_args(argv):
     ev.add_argument("--table", required=True)
     ev.add_argument("--n-buckets", type=int, required=True)
 
+    dw = sub.add_parser("delete-where",
+                        help="row-level DELETE by SQL predicate (GDPR "
+                             "erasure / bad-data removal; O(matching "
+                             "groups) copy-on-write, mirror-convergent)")
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--predicate", required=True,
+                    help="SQL boolean over the user columns, e.g. "
+                         "\"doc_id = 'd1'\" or \"source = 'spam'\"")
+
+    uw = sub.add_parser("update-where",
+                        help="row-level UPDATE by SQL predicate (n_tok "
+                             "recomputed when tokens change)")
+    uw.add_argument("--table", required=True)
+    uw.add_argument("--predicate", required=True)
+    uw.add_argument("--set", action="append", required=True,
+                    help="col=SQL-expr (repeatable); RHS sees the OLD row")
+
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-snapshot", type=_sid_or_ref, required=True,
@@ -475,6 +524,8 @@ COMMANDS = {
     "replay": cmd_replay,
     "changes": cmd_changes,
     "mirror": cmd_mirror,
+    "delete-where": cmd_delete_where,
+    "update-where": cmd_update_where,
     "rollback": cmd_rollback,
     "compact": cmd_compact,
     "evolve-spec": cmd_evolve_spec,
