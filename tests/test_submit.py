@@ -12,6 +12,7 @@ import os
 import sys
 import zipfile
 
+import pandas as pd
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
@@ -145,6 +146,24 @@ def test_submit_dml_cmds(spark, tmp_path, capsys):
                 "--predicate", "doc_id = 'no-such'")
     assert r == {"deleted": False, "rows_affected": 0,
                  "snapshot_id": SequenceTable(table).latest_snapshot_id()}
+
+    # MERGE INTO from a parquet source: one matched upsert + one insert
+    hit = sorted(exp["doc_id"])[0]
+    src = str(tmp_path / "merge-src.parquet")
+    spark.createDataFrame(
+        [(hit, [6, 6], 2, "cli-merged"), ("cli-new", [1], 1, "cli-merged")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.parquet(src)
+    r = run_cli(capsys, "merge", "--table", table, "--source", src)
+    assert r["merged"] and (r["rows_updated"], r["rows_inserted"]) == (1, 1)
+    m = exp["doc_id"] == hit
+    exp.loc[m, "tokens"] = exp.loc[m, "tokens"].map(lambda _: [6, 6])
+    exp.loc[m, "n_tok"] = 2
+    exp.loc[m, "source"] = "cli-merged"
+    exp = pd.concat([exp, pd.DataFrame([{
+        "doc_id": "cli-new", "tokens": [1], "n_tok": 1,
+        "source": "cli-merged"}])], ignore_index=True)
+    assert_state_equal(SequenceTable(table).read(spark), exp)
 
 
 def test_submit_stream_cmd(spark, tmp_path, capsys):

@@ -189,6 +189,36 @@ def cmd_update_where(spark, args):
             "groups_rewritten": r.groups_rewritten, "snapshot_id": r.snapshot_id}
 
 
+def cmd_merge(spark, args):
+    from cfe_39_spark.operators.dml import merge_into
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    set_exprs = None
+    if args.set:
+        set_exprs = {}
+        for kv in args.set:
+            col, _, expr = kv.partition("=")
+            if not _:
+                raise SystemExit(f"--set expects col=expr, got {kv!r}")
+            set_exprs[col.strip()] = expr
+    r = merge_into(
+        spark, t, spark.read.parquet(args.source),
+        when_matched_update=set_exprs,
+        when_matched_delete=args.delete_cond,
+        when_matched_condition=args.matched_cond,
+        when_not_matched_insert=not args.no_insert,
+    )
+    if r is None:
+        return {"merged": False, "rows_affected": 0,
+                "snapshot_id": t.latest_snapshot_id()}
+    return {"merged": True, "rows_affected": r.rows_affected,
+            "rows_deleted": r.rows_deleted, "rows_updated": r.rows_updated,
+            "rows_inserted": r.rows_inserted,
+            "groups_rewritten": r.groups_rewritten,
+            "snapshot_id": r.snapshot_id}
+
+
 def cmd_rollback(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -431,6 +461,25 @@ def parse_args(argv):
     uw.add_argument("--set", action="append", required=True,
                     help="col=SQL-expr (repeatable); RHS sees the OLD row")
 
+    mg = sub.add_parser("merge",
+                        help="MERGE INTO from a parquet source dataset "
+                             "(matched update/delete + not-matched insert "
+                             "in one atomic snapshot; source keys must be "
+                             "unique)")
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--source", required=True,
+                    help="parquet path of the source dataset (doc_id key)")
+    mg.add_argument("--set", action="append", default=None,
+                    help="col=SQL-expr matched-update clause (repeatable; "
+                         "source columns visible as src_<name>); omit for "
+                         "classic upsert-all")
+    mg.add_argument("--delete-cond", default=None,
+                    help="matched rows satisfying this are deleted")
+    mg.add_argument("--matched-cond", default=None,
+                    help="extra gate on the update clause")
+    mg.add_argument("--no-insert", action="store_true",
+                    help="skip the not-matched insert clause")
+
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-snapshot", type=_sid_or_ref, required=True,
@@ -526,6 +575,7 @@ COMMANDS = {
     "mirror": cmd_mirror,
     "delete-where": cmd_delete_where,
     "update-where": cmd_update_where,
+    "merge": cmd_merge,
     "rollback": cmd_rollback,
     "compact": cmd_compact,
     "evolve-spec": cmd_evolve_spec,
