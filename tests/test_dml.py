@@ -130,6 +130,75 @@ def test_dml_rewrites_only_affected_groups(spark, tmp_path):
     assert len(before & after) > 0, "untouched groups must be carried as-is"
 
 
+def test_dml_mor_mode_oracle_exact_appends_only(spark, tmp_path):
+    """mode='mor' (Iceberg merge-on-read DML role): same final state as
+    COW, but the commit appends O(matched) delta rows and rewrites ZERO
+    groups — every pre-existing file is carried by reference.  Compaction
+    later resolves the deltas away without changing the state."""
+    fx, t, _ = _setup(spark, tmp_path)
+    exp = fx["expected"].copy()
+    cut = int(exp["n_tok"].median())
+    before_paths = {e["path"] for e in t.snapshot()["files"]}
+
+    r = delete_where(spark, t, f"n_tok > {cut}", mode="mor")
+    kept = exp[exp["n_tok"] <= cut].reset_index(drop=True)
+    assert r is not None and r.rows_affected == len(exp) - len(kept)
+    assert r.groups_rewritten == 0
+    snap = t.snapshot()
+    assert (snap.get("lineage") or {}).get("mode") == "mor"
+    after = snap["files"]
+    # append-only: every old file survives untouched; the additions are deltas
+    assert before_paths <= {e["path"] for e in after}
+    new = [e for e in after if e["path"] not in before_paths]
+    assert new and all(e.get("kind") == "delta" for e in new)
+    assert_state_equal(t.read(spark), kept)
+    # time travel + change feed behave exactly like the COW commit
+    assert t.read(spark, r.snapshot_id - 1).count() == len(exp)
+    feed = t.read_changes(spark, from_snapshot_id=r.snapshot_id - 1)
+    assert feed.filter("_change_type = 'delete'").count() == r.rows_affected
+
+    # MOR update stacks on the MOR delete; read-time LWW resolves both
+    r2 = update_where(spark, t, {"source": "'fixed'"}, f"n_tok <= {cut}",
+                      mode="mor")
+    assert r2 is not None and r2.groups_rewritten == 0
+    kept = kept.copy()
+    kept["source"] = "fixed"
+    assert_state_equal(t.read(spark), kept)
+
+    # compaction reclaims the superseded versions, state unchanged
+    assert t.compact(spark) is not None
+    snap = t.snapshot()
+    assert not any(e.get("kind", "base") == "delta" for e in snap["files"])
+    assert_state_equal(t.read(spark), kept)
+
+
+def test_dml_mor_redelivery_noop_and_mirror_converges(spark, tmp_path):
+    """The ordering bump written into MOR delta rows carries the same
+    LWW semantics as COW: redelivered old events lose at resolution
+    time, and a mirror applying the change feed reaches the primary's
+    exact state."""
+    fx, t, segs = _setup(spark, tmp_path)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    dst = SequenceTable.create(spark, str(tmp_path / "dst"), init, n_buckets=4)
+    chk = str(tmp_path / "chk")
+    mirror.run_mirror(spark, t, dst, chk)
+
+    victim = sorted(fx["expected"]["doc_id"])[0]
+    assert delete_where(spark, t, f"doc_id = '{victim}'", mode="mor") is not None
+    post = t.read(spark).toPandas()
+    for i, s in enumerate(segs):
+        apply_batch(spark, t, spark.read.parquet(s), batch_id=f"re{i}",
+                    compact_threshold=None)
+    assert_state_equal(t.read(spark), post)
+
+    ticks = mirror.run_mirror(spark, t, dst, chk)
+    assert ticks and ticks[-1].applied
+    assert_state_equal(dst.read(spark), t.read(spark).toPandas())
+
+    with pytest.raises(ValueError, match="mode"):
+        delete_where(spark, t, "true", mode="nope")
+
+
 def test_dml_mirror_converges(spark, tmp_path):
     """delete_where + update_where flow through read_changes like any
     commit; a mirror applying the feed under plain LWW reaches the
