@@ -73,6 +73,16 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
     real cluster the session arrives from spark-submit and ``master`` is None.
     """
+    # Python workers (pandas UDF executors, DataSource runners) are spawned
+    # by the JVM with the driver's environment: make sure they can import
+    # this package by reference, whatever directory the driver ran from.
+    # On a real cluster this is spark-submit --py-files instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

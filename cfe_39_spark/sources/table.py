@@ -1947,6 +1947,54 @@ class SequenceTable:
     # ------------------------------------------------------------------ #
     # reads (S3) with schema reconciliation (C7 read side)
     # ------------------------------------------------------------------ #
+    def _column_plan(
+        self,
+        snap: dict,
+        target: T.StructType,
+        ver: int,
+        target_version: int | None = None,
+    ) -> "list[tuple[str, str | None]]":
+        """The field-id column mapping for reading files written at schema
+        version ``ver`` under the ``target`` storage schema: one
+        ``(target_name, stored_name_or_None)`` pair per target field
+        (``None`` = no stored column serves this field at ``ver`` → null-
+        fill).  Column identity is FIELD IDS, not names (Iceberg's
+        mechanism): a target field reads the stored column that carries the
+        same id at the file's schema version.  Rename → old files keep
+        serving their values under the new name; drop-then-re-add → fresh
+        id, so old files' values never resurrect even though the physical
+        column name matches.  Tables predating the registry get a
+        deterministic name-chained backfill (identical to the old
+        name-matching).
+
+        ``target_version``: the registered version whose ids the target
+        fields carry — defaults to the snapshot's tip version (plain and
+        merge reads); the changelog stream reader passes its PINNED
+        stream-start version while ``snap`` supplies the full (append-only)
+        registry, so files written under versions registered after stream
+        start still map correctly."""
+        reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
+        tv = target_version if target_version is not None else snap["schema_version"]
+        cur_ids = reg.get(str(tv), {})
+        inv = {i: n for n, i in reg.get(str(ver), {}).items()}
+        plan: list[tuple[str, str | None]] = []
+        for f in target.fields:
+            fid = cur_ids.get(f.name)
+            if fid is not None:
+                stored = inv.get(fid)  # None: no such id at ver → null
+            elif f.name in BOOKKEEPING_COLS:
+                stored = f.name  # engine columns: physical name match
+            else:
+                # a user column with NO id at the tip is brand-new
+                # (a batch is registering it in this very commit): no
+                # existing file can hold its values — even one whose
+                # RETIRED same-named column physically remains (the
+                # no-resurrection rule must hold through the merge
+                # read, not just plain reads)
+                stored = None
+            plan.append((f.name, stored))
+        return plan
+
     def _read_files(
         self,
         spark: SparkSession,
@@ -1967,18 +2015,9 @@ class SequenceTable:
             by_ver.setdefault(e["schema_version"], []).append(
                 os.path.join(self.root, e["path"])
             )
-        # Column identity is FIELD IDS, not names (Iceberg's mechanism):
-        # a target field reads the stored column that carries the same id
-        # at the file's schema version.  Rename → old files keep serving
-        # their values under the new name; drop-then-re-add → fresh id, so
-        # old files' values never resurrect even though the physical column
-        # name matches.  Tables predating the registry get a deterministic
-        # name-chained backfill (identical to the old name-matching).
-        reg = _backfill_field_ids(snap["schemas"], snap.get("field_ids"))
-        cur_ids = reg.get(str(snap["schema_version"]), {})
         parts = []
         for ver, paths in sorted(by_ver.items()):
-            inv = {i: n for n, i in reg.get(str(ver), {}).items()}
+            plan = self._column_plan(snap, target, ver)
             df = spark.read.parquet(*paths)
             # intersect with the files' PHYSICAL columns: bookkeeping cols
             # added after a file group was written (e.g. _last_src_partition
@@ -1986,26 +2025,12 @@ class SequenceTable:
             # read-side schema evolution, not crash the select — downstream
             # LWW ordering coalesces the nulls to the legacy sentinel
             phys = set(df.columns)
-            cols = []
-            for f in target.fields:
-                fid = cur_ids.get(f.name)
-                if fid is not None:
-                    stored = inv.get(fid)  # None: no such id at ver → null
-                elif f.name in BOOKKEEPING_COLS:
-                    stored = f.name  # engine columns: physical name match
-                else:
-                    # a user column with NO id at the tip is brand-new
-                    # (a batch is registering it in this very commit): no
-                    # existing file can hold its values — even one whose
-                    # RETIRED same-named column physically remains (the
-                    # no-resurrection rule must hold through the merge
-                    # read, not just plain reads)
-                    stored = None
-                cols.append(
-                    F.col(stored).cast(f.dataType).alias(f.name)
-                    if stored is not None and stored in phys
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                )
+            cols = [
+                F.col(stored).cast(f.dataType).alias(f.name)
+                if stored is not None and stored in phys
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for (_, stored), f in zip(plan, target.fields)
+            ]
             parts.append(df.select(cols))
         out = parts[0]
         for p in parts[1:]:
@@ -2234,38 +2259,20 @@ class SequenceTable:
     # ------------------------------------------------------------------ #
     # incremental changelog scan (S10) — the CDC *read* surface
     # ------------------------------------------------------------------ #
-    def read_changes(
+    def change_span(
         self,
-        spark: SparkSession,
         from_snapshot_id: "int | str",
         to_snapshot_id: "int | str | None" = None,
-        net: bool = False,
-    ) -> DataFrame:
-        """Change rows committed AFTER ``from_snapshot_id`` up to and
-        including ``to_snapshot_id`` (default: latest) — the Iceberg
-        incremental-scan / Delta-CDF role, which turns the table into a
-        change-event *producer* so downstream tables can tail it
-        (``changes_as_events`` converts the feed back to a raw event batch
-        for ``apply_batch``).
-
-        Each emitted row is one committed winner: user columns plus
-        ``_change_type`` ('upsert' | 'delete'), the ordering pair
-        (``_last_event_time``, ``_last_offset``) consumers resolve by, and
-        ``_commit_snapshot_id`` / ``_commit_batch_id`` provenance.  In
-        merge-on-read commits a stale winner that later loses at read-time
-        resolution is still part of the feed (same redelivery semantics the
-        write side has) — downstream consumers apply the same LWW rule, so
-        the net state is unaffected.  ``net=True`` collapses the span to
-        one final row per key driver-side of the consumer (one hash agg).
-
-        Cost: O(changed rows in the span) — only change files are read,
-        never table state; at 10^10 rows an incremental consumer pays for
-        its delta, not the table.
-        """
-        # tag names resolve to ids up front ("changes since the pinned
-        # training snapshot" — the incremental-refresh pattern); note a
-        # detached tag (retention passed it) is no longer chain-reachable,
-        # so the walk below correctly refuses it with the ancestry error
+    ) -> "tuple[dict, list[dict]]":
+        """Resolve a ``(from, to]`` changelog span: returns ``(target_snap,
+        snapshots)`` with the span newest-first (``read_changes`` iterates
+        it reversed).  Tag names resolve to ids up front ("changes since
+        the pinned training snapshot" — the incremental-refresh pattern);
+        note a detached tag (retention passed it) is no longer
+        chain-reachable, so the walk correctly refuses it with the
+        ancestry error.  Shared by ``read_changes`` and the Structured
+        Streaming changelog source (``sources/datasource.py``), so both
+        surfaces raise the SAME expired-cursor / not-an-ancestor errors."""
         if isinstance(from_snapshot_id, str):
             from_snapshot_id = self.resolve_ref(from_snapshot_id)
         if isinstance(to_snapshot_id, str):
@@ -2315,6 +2322,37 @@ class SequenceTable:
             raise ValueError(
                 f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}"
             )
+        return target, span
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: "int | str",
+        to_snapshot_id: "int | str | None" = None,
+        net: bool = False,
+    ) -> DataFrame:
+        """Change rows committed AFTER ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: latest) — the Iceberg
+        incremental-scan / Delta-CDF role, which turns the table into a
+        change-event *producer* so downstream tables can tail it
+        (``changes_as_events`` converts the feed back to a raw event batch
+        for ``apply_batch``).
+
+        Each emitted row is one committed winner: user columns plus
+        ``_change_type`` ('upsert' | 'delete'), the ordering pair
+        (``_last_event_time``, ``_last_offset``) consumers resolve by, and
+        ``_commit_snapshot_id`` / ``_commit_batch_id`` provenance.  In
+        merge-on-read commits a stale winner that later loses at read-time
+        resolution is still part of the feed (same redelivery semantics the
+        write side has) — downstream consumers apply the same LWW rule, so
+        the net state is unaffected.  ``net=True`` collapses the span to
+        one final row per key driver-side of the consumer (one hash agg).
+
+        Cost: O(changed rows in the span) — only change files are read,
+        never table state; at 10^10 rows an incremental consumer pays for
+        its delta, not the table.
+        """
+        target, span = self.change_span(from_snapshot_id, to_snapshot_id)
         schema = storage_schema(self.user_schema(target))
         parts = []
         for s in reversed(span):  # oldest commit first
