@@ -130,7 +130,6 @@ def _run_dml(
     s_min = table._min_live_spec(snap)
     gset = set(groups)
     target = [e for e in snap["files"] if e["bucket"] % s_min in gset]
-    rest = [e for e in snap["files"] if e["bucket"] % s_min not in gset]
 
     if mode == "mor":
         # merge-on-read DML (the 10^10-scale path for sparse predicates):
@@ -202,10 +201,13 @@ def _run_dml(
             bloom=snap.get("bloom_filter"),
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        sid = table.commit(
+        # group-scoped rebase: a concurrent commit on OTHER groups (the
+        # ingest stream, another DML) does not force this rewrite to redo
+        sid = table.commit_rebase(
             bid,
             new_files,
-            rest,
+            snap,
+            gset,
             lineage={
                 "dml": op_name,
                 "mode": "cow",
@@ -216,7 +218,6 @@ def _run_dml(
                 **lineage_extra,
             },
             change_files=change_files,
-            expected_parent_id=snap["snapshot_id"],
         )
         return DmlResult(sid, rows, len(groups), wall_ms)
     finally:
@@ -424,7 +425,6 @@ def merge_into(
         return None
     gset = set(groups)
     target = [e for e in snap["files"] if e["bucket"] % s_min in gset]
-    rest = [e for e in snap["files"] if e["bucket"] % s_min not in gset]
 
     src = source.select(
         *[F.col(c).alias(f"src_{c}") for c in source.columns],
@@ -529,8 +529,8 @@ def merge_into(
             sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        sid = table.commit(
-            bid, new_files, rest,
+        sid = table.commit_rebase(
+            bid, new_files, snap, gset,
             lineage={
                 "dml": "merge_into",
                 "rows_affected": rows,
@@ -541,7 +541,6 @@ def merge_into(
                 "wall_ms": wall_ms,
             },
             change_files=change_files,
-            expected_parent_id=snap["snapshot_id"],
         )
         return MergeResult(sid, rows, len(groups), wall_ms,
                            rows_deleted=n_del, rows_updated=n_upd,

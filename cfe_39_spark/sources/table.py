@@ -1519,6 +1519,100 @@ class SequenceTable:
                 field_ids=field_ids,
             )
 
+    def commit_rebase(
+        self,
+        batch_id: str,
+        new_files: list[dict],
+        planned_snap: dict,
+        touched_groups,
+        lineage: dict | None = None,
+        change_files: list[dict] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Commit a group-scoped rewrite with Iceberg-style optimistic
+        conflict RESOLUTION: when another writer committed between this
+        operation's plan and its commit, re-validate instead of failing —
+        if every interleaved commit touched only OTHER bucket groups, the
+        rewrite is still exactly what a serial execution would produce, so
+        rebase it onto the new head (recompute the carried file list from
+        the new parent, CAS again).  Two writers on disjoint groups both
+        succeed with no caller-side retry; at 10^10 rows this is what lets
+        compaction, predicate DML and MERGE INTO run concurrently with the
+        ingest stream instead of serializing behind it.
+
+        The rewrite is re-planned from scratch (CommitConflictError) when
+        rebasing cannot be proven equivalent to a serial schedule:
+
+        * an interleaved commit added or removed files in one of THIS
+          operation's ``touched_groups`` (its rewrite read stale data);
+        * the schema version moved (the rewrite rendered old-schema rows —
+          e.g. it must not resurrect a column a concurrent DDL dropped);
+        * the bucket spec changed (the group arithmetic is stale).
+
+        Conflict detection is a manifest diff — O(live-file entries) per
+        conflicting retry, driver-side only, nothing re-read or re-written;
+        the no-conflict fast path costs one extra path-set build."""
+        gset = set(touched_groups)
+        planned_files = planned_snap["files"]
+        s_min = self._min_live_spec(planned_snap)
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            cur = (
+                planned_snap
+                if self.latest_snapshot_id() == planned_snap["snapshot_id"]
+                else self.snapshot()
+            )
+            cur_files = cur["files"]
+            if cur["snapshot_id"] != planned_snap["snapshot_id"]:
+                if (
+                    cur["n_buckets"] != planned_snap["n_buckets"]
+                    or self._min_live_spec(cur) != s_min
+                ):
+                    raise CommitConflictError(
+                        f"{batch_id}: bucket spec changed mid-operation "
+                        f"({planned_snap['n_buckets']}->{cur['n_buckets']}); "
+                        "re-plan against the new head"
+                    )
+                if cur["schema_version"] != planned_snap["schema_version"]:
+                    raise CommitConflictError(
+                        f"{batch_id}: schema version moved "
+                        f"{planned_snap['schema_version']}->"
+                        f"{cur['schema_version']} mid-operation; re-plan"
+                    )
+                planned_paths = {e["path"] for e in planned_files}
+                cur_paths = {e["path"] for e in cur_files}
+                touched_other = {
+                    e["bucket"] % s_min
+                    for e in cur_files
+                    if e["path"] not in planned_paths
+                } | {
+                    e["bucket"] % s_min
+                    for e in planned_files
+                    if e["path"] not in cur_paths
+                }
+                overlap = touched_other & gset
+                if overlap:
+                    raise CommitConflictError(
+                        f"{batch_id}: a concurrent commit touched groups "
+                        f"{sorted(overlap)} this operation rewrote; re-plan"
+                    )
+            rest = [e for e in cur_files if e["bucket"] % s_min not in gset]
+            try:
+                return self.commit(
+                    batch_id,
+                    new_files,
+                    rest,
+                    lineage=lineage,
+                    change_files=change_files,
+                    expected_parent_id=cur["snapshot_id"],
+                )
+            except CommitConflictError as e:
+                last = e
+                continue
+        raise CommitConflictError(
+            f"{batch_id}: commit lost the race {max_retries} times"
+        ) from last
+
     def _commit_locked(
         self,
         batch_id: str,
@@ -2725,7 +2819,6 @@ class SequenceTable:
             return None
         buckets = sorted(groups)
         target = [e for e in snap["files"] if e["bucket"] % s_min in groups]
-        rest = [e for e in snap["files"] if e["bucket"] % s_min not in groups]
         resolved = lww_resolve(self._read_files(spark, snap, target))
         if drop_tombstones_before is not None:
             resolved = resolved.filter(
@@ -2746,14 +2839,16 @@ class SequenceTable:
         if drop_tombstones_before is not None:
             # auditable: which watermark authorized dropping replay guards
             lineage["tombstones_dropped_before"] = str(drop_tombstones_before)
-        return self.commit(
+        # rebase over concurrent commits on OTHER groups (the ingest
+        # stream keeps flowing while maintenance runs); a commit into a
+        # group being compacted re-plans loudly rather than silently
+        # dropping the concurrent writer's files from the carried manifest
+        return self.commit_rebase(
             f"__compact__-{snap['snapshot_id']}",
             new_files,
-            rest,
+            snap,
+            groups,
             lineage=lineage,
-            # fail loudly rather than silently dropping a concurrent
-            # writer's files from the carried manifest
-            expected_parent_id=snap["snapshot_id"],
         )
 
     # ------------------------------------------------------------------ #

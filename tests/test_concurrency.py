@@ -314,3 +314,159 @@ def test_concurrent_main_and_branch_writers_stay_isolated(spark, tmp_path):
     # main moved after the fork: the audited span no longer applies
     with pytest.raises(ValueError, match="fast-forward"):
         t.fast_forward("audit")
+
+
+# --------------------------------------------------------------------- #
+# group-scoped optimistic rebase (commit_rebase): concurrent writers on
+# DISJOINT bucket groups both succeed without caller retry; overlapping
+# groups / moved schema still fail loudly for a full re-plan.
+# --------------------------------------------------------------------- #
+def _rebase_setup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cfe_39_spark.sources.table import bucket_expr
+
+    fx = write_fixture(str(tmp_path / "fx"),
+                       GenConfig(n_docs_initial=40, n_events=160,
+                                 n_segments=2, dup_rate=0.1, seed=311))
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    for i, s in enumerate(sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))):
+        apply_batch(spark, t, spark.read.parquet(s), batch_id=i,
+                    compact_threshold=None)
+    docs = sorted(fx["expected"]["doc_id"])
+    grp = {
+        r["doc_id"]: r["g"]
+        for r in spark.createDataFrame([(d,) for d in docs], "doc_id string")
+        .select("doc_id", bucket_expr("doc_id", 4).alias("g")).collect()
+    }
+    victim = docs[0]
+    other = next(d for d in docs if grp[d] != grp[victim])
+    same = next(d for d in docs[1:] if grp[d] == grp[victim])
+    return fx, t, victim, other, same
+
+
+def _serve_stale(handle, stale, times):
+    orig = SequenceTable.snapshot
+    state = {"n": 0}
+
+    def hook(self, sid=None):
+        if sid is None and state["n"] < times:
+            state["n"] += 1
+            return stale
+        return orig(self, sid)
+
+    handle.snapshot = hook.__get__(handle)
+    return state
+
+
+def _concurrent_event(spark, root, doc):
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(doc, "U", 10 ** 9, 42, [9, 9, 9], 3, "concurrent", 1)],
+        "doc_id string, op string, offset long, epoch long, "
+        "tokens array<int>, n_tok int, source string, schema_version int",
+    ).select(
+        "doc_id", "op", "offset", F.current_timestamp().alias("event_time"),
+        "epoch", F.lit(0).alias("src_partition"), "schema_version",
+        "tokens", "n_tok", "source",
+    )
+    apply_batch(spark, SequenceTable(root), ev, batch_id=f"conc-{doc}",
+                compact_threshold=None)
+
+
+def test_dml_rebases_over_disjoint_concurrent_commit(spark, tmp_path):
+    """A DML planned against a stale parent succeeds when the interleaved
+    commit touched only other groups: the final state carries BOTH the
+    delete and the concurrent writer's update."""
+    from cfe_39_spark.operators.dml import delete_where
+
+    fx, t, victim, other, _ = _rebase_setup(spark, tmp_path)
+    handle = SequenceTable(t.root)
+    stale = handle.snapshot()
+    _concurrent_event(spark, t.root, other)  # lands in a different group
+    # delete_where reads snapshot() twice (validation + plan) before commit
+    _serve_stale(handle, stale, times=2)
+    r = delete_where(spark, handle, f"doc_id = '{victim}'")
+    assert r is not None and r.rows_affected == 1
+
+    exp = fx["expected"].copy()
+    m = exp["doc_id"] == other
+    exp.loc[m, "tokens"] = exp.loc[m, "tokens"].map(lambda _: [9, 9, 9])
+    exp.loc[m, "n_tok"] = 3
+    exp.loc[m, "source"] = "concurrent"
+    exp = exp[exp["doc_id"] != victim].reset_index(drop=True)
+    assert_state_equal(t.read(spark), exp)
+
+
+def test_dml_replans_on_overlapping_concurrent_commit(spark, tmp_path):
+    """The interleaved commit hit the SAME group the DML rewrote: rebase
+    must refuse (the rewrite read stale data) and a fresh attempt wins."""
+    from cfe_39_spark.operators.dml import delete_where
+
+    fx, t, victim, _, same = _rebase_setup(spark, tmp_path)
+    handle = SequenceTable(t.root)
+    stale = handle.snapshot()
+    _concurrent_event(spark, t.root, same)  # same group as victim
+    _serve_stale(handle, stale, times=2)
+    with pytest.raises(CommitConflictError, match="touched groups"):
+        delete_where(spark, handle, f"doc_id = '{victim}'")
+    # the loud failure is recoverable: a fresh plan applies cleanly
+    r = delete_where(spark, SequenceTable(t.root), f"doc_id = '{victim}'")
+    assert r is not None and r.rows_affected == 1
+    got = t.read(spark).toPandas()
+    assert victim not in set(got["doc_id"])
+    assert list(got.set_index("doc_id").loc[same, "tokens"]) == [9, 9, 9]
+
+
+def test_merge_into_rebases_over_disjoint_concurrent_commit(spark, tmp_path):
+    from cfe_39_spark.operators.dml import merge_into
+
+    fx, t, victim, other, _ = _rebase_setup(spark, tmp_path)
+    handle = SequenceTable(t.root)
+    stale = handle.snapshot()
+    _concurrent_event(spark, t.root, other)
+    # merge_into reads snapshot() once at the top
+    _serve_stale(handle, stale, times=1)
+    src = spark.createDataFrame(
+        [(victim, [5, 5], 2, "merged")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    r = merge_into(spark, handle, src)
+    assert r is not None and r.rows_updated == 1
+    got = t.read(spark).toPandas().set_index("doc_id")
+    assert list(got.loc[victim, "tokens"]) == [5, 5]
+    assert list(got.loc[other, "tokens"]) == [9, 9, 9]
+
+
+def test_compact_rebases_over_disjoint_concurrent_commit(spark, tmp_path):
+    """Maintenance no longer serializes behind ingest: a compaction of
+    group A planned before a concurrent MOR commit into group B commits
+    via rebase, keeping B's new delta live in the carried manifest."""
+    fx, t, victim, other, _ = _rebase_setup(spark, tmp_path)
+    from cfe_39_spark.sources.table import bucket_expr
+
+    g = {
+        r["doc_id"]: r["g"]
+        for r in spark.createDataFrame([(victim,), (other,)], "doc_id string")
+        .select("doc_id", bucket_expr("doc_id", 4).alias("g")).collect()
+    }
+    g_victim, g_other = g[victim], g[other]
+    handle = SequenceTable(t.root)
+    stale = handle.snapshot()
+    _concurrent_event(spark, t.root, other)
+    _serve_stale(handle, stale, times=1)
+    sid = handle.compact(spark, buckets=[g_victim])
+    assert sid is not None
+    # the concurrent delta in the other group survived the rebase
+    snap = t.snapshot()
+    assert any(
+        e.get("kind", "base") == "delta" and e["bucket"] % 4 == g_other
+        for e in snap["files"]
+    )
+    exp = fx["expected"].copy()
+    m = exp["doc_id"] == other
+    exp.loc[m, "tokens"] = exp.loc[m, "tokens"].map(lambda _: [9, 9, 9])
+    exp.loc[m, "n_tok"] = 3
+    exp.loc[m, "source"] = "concurrent"
+    assert_state_equal(t.read(spark), exp)
