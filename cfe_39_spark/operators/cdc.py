@@ -55,6 +55,7 @@ from ..sources.table import (
     SequenceTable,
     _schema_to_json,
     bucket_expr,
+    changes_as_events,
     has_deltas,
     lww_resolve,
 )
@@ -872,4 +873,60 @@ def _apply_mor(
         bid, sid, rows_applied, events_in, wall_ms=wall_ms,
         per_partition=per_partition, lww_strategy_used=strategy_used,
         events_quarantined=quarantined,
+    )
+
+
+def cherry_pick(
+    spark: SparkSession,
+    table: SequenceTable,
+    snapshot_id: "int | str",
+    from_snapshot_id: "int | str | None" = None,
+    **apply_kwargs,
+) -> ApplyResult:
+    """Apply a reachable commit's change rows onto the CURRENT head as a
+    new commit — git's cherry-pick / Iceberg's ``cherrypick_snapshot``,
+    and the escape hatch the WAP flow needs when main moved after the
+    branch was cut (``fast_forward`` correctly refuses divergence; this
+    re-lands the audited span on the new main).
+
+    Semantics are pure LWW redelivery: the picked span's change feed is
+    converted back to raw events (``changes_as_events`` — the ORIGINAL
+    ordering triple survives the round trip) and applied through the
+    ordinary ``apply_batch``.  Conflicts therefore resolve by event time
+    exactly like racing sources do: a row main has since overwritten
+    with a NEWER event keeps main's value (the pick no-ops row-wise),
+    older main state is overwritten, deletes carry as tombstones.
+    Picking an already-published snapshot is a row-wise no-op, and the
+    derived batch id makes re-picking the same span commit-level
+    idempotent.
+
+    ``snapshot_id``: the commit (or tag/branch name) to pick — any
+    snapshot whose metadata is retained, on main or any branch.
+    ``from_snapshot_id``: pick the whole ``(from, to]`` span instead of
+    the single commit (pass the branch's fork point to re-land an entire
+    staged line in one atomic batch; within-span ties collapse by LWW,
+    which equals sequential application of the span).
+
+    Cost: O(changed rows in the picked span) — one changelog read plus
+    one ordinary MOR apply; main's state is never scanned.  Targeting a
+    BranchHandle picks ONTO that branch instead of main.
+    """
+    sid = (
+        table.resolve_ref(snapshot_id)
+        if isinstance(snapshot_id, str) else int(snapshot_id)
+    )
+    src = table.snapshot(sid)
+    frm = from_snapshot_id if from_snapshot_id is not None else src["parent_id"]
+    if frm is None:
+        raise ValueError(
+            f"cherry_pick: snapshot {sid} is the create commit — its base "
+            "load is not part of the change feed (re-bootstrap from a "
+            "full table read instead)"
+        )
+    if isinstance(frm, str):
+        frm = table.resolve_ref(frm)
+    feed = table.read_changes(spark, from_snapshot_id=frm, to_snapshot_id=sid)
+    return apply_batch(
+        spark, table, changes_as_events(feed),
+        batch_id=f"__cherrypick__-{frm}-{sid}", **apply_kwargs,
     )

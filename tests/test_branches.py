@@ -312,3 +312,87 @@ def test_ref_ttls_auto_expire(spark, tmp_path):
     assert not r.noop
     # the untimed tag still pins its (now detached) snapshot
     assert table.read(spark, "forever").count() > 0
+
+
+# --------------------------------------------------------------------- #
+# cherry-pick: re-land a commit (or a whole staged span) when publish
+# cannot fast-forward because main moved — conflicts resolve by LWW.
+# --------------------------------------------------------------------- #
+def test_cherry_pick_publishes_despite_divergence(spark, tmp_path):
+    """The WAP escape hatch: main moves after the branch was cut, so
+    fast_forward refuses; cherry-picking the branch's staged span onto
+    main lands the SAME final state a serial replay of all segments
+    would have produced (LWW makes the interleaving irrelevant)."""
+    from cfe_39_spark.operators.cdc import cherry_pick
+
+    table, fx, segs = _replayed(spark, tmp_path)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    fork = table.latest_snapshot_id()
+    table.create_branch("audit")
+    b = table.branch("audit")
+    apply_batch(spark, b, spark.read.parquet(segs[1]), batch_id="s1")
+    apply_batch(spark, b, spark.read.parquet(segs[2]), batch_id="s2")
+    # main moves underneath the audit
+    apply_batch(spark, table, spark.read.parquet(segs[1]), batch_id="main-1")
+    with pytest.raises(ValueError, match="fast-forward"):
+        table.fast_forward("audit")
+
+    r = cherry_pick(spark, table, b.latest_snapshot_id(),
+                    from_snapshot_id=fork, compact_threshold=None)
+    assert not r.noop and r.rows_applied > 0
+    assert_state_equal(table.read(spark), fx["expected"])
+
+    # commit-level idempotency: re-picking the same span no-ops
+    again = cherry_pick(spark, table, b.latest_snapshot_id(),
+                        from_snapshot_id=fork, compact_threshold=None)
+    assert again.noop and again.snapshot_id == r.snapshot_id
+
+
+def test_cherry_pick_single_commit_lww_conflicts(spark, tmp_path):
+    """Row-wise conflict semantics are pure LWW: a doc main overwrote
+    with a NEWER event keeps main's value through the pick; docs only
+    the branch touched get the branch's value."""
+    from pyspark.sql import functions as F
+
+    from cfe_39_spark.operators.cdc import cherry_pick
+
+    table, fx, segs = _replayed(spark, tmp_path)
+    apply_batch(spark, table, spark.read.parquet(segs[0]), batch_id=0)
+    docs = sorted(fx["expected"]["doc_id"])[:2]
+
+    def ev(doc, toks, off, src):
+        return spark.createDataFrame(
+            [(doc, "U", off, 1, toks, len(toks), src, 1)],
+            "doc_id string, op string, offset long, epoch long, "
+            "tokens array<int>, n_tok int, source string, schema_version int",
+        ).select(
+            "doc_id", "op", "offset",
+            F.current_timestamp().alias("event_time"), "epoch",
+            F.lit(0).alias("src_partition"), "schema_version",
+            "tokens", "n_tok", "source",
+        )
+
+    table.create_branch("fix")
+    b = table.branch("fix")
+    # branch updates BOTH docs first (older event times)
+    apply_batch(spark, b, ev(docs[0], [1, 1], 10 ** 8, "branch")
+                .unionByName(ev(docs[1], [2, 2], 10 ** 8, "branch")),
+                batch_id="b1", compact_threshold=None)
+    import time as _t
+    _t.sleep(0.05)
+    # main then overwrites docs[0] with a NEWER event
+    apply_batch(spark, table, ev(docs[0], [9], 10 ** 8 + 1, "main"),
+                batch_id="m1", compact_threshold=None)
+
+    cherry_pick(spark, table, b.latest_snapshot_id(), compact_threshold=None)
+    got = table.read(spark).toPandas().set_index("doc_id")
+    assert list(got.loc[docs[0], "tokens"]) == [9], "newer main event must win"
+    assert list(got.loc[docs[1], "tokens"]) == [2, 2], "branch-only doc lands"
+
+
+def test_cherry_pick_create_commit_refused(spark, tmp_path):
+    from cfe_39_spark.operators.cdc import cherry_pick
+
+    table, fx, segs = _replayed(spark, tmp_path)
+    with pytest.raises(ValueError, match="create commit"):
+        cherry_pick(spark, table, 1)
