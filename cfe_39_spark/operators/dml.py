@@ -37,6 +37,7 @@ aborted attempt are orphans the existing expiry GC reclaims.
 from __future__ import annotations
 
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,7 @@ from pyspark.sql import functions as F
 from ..functions.tokens import n_tok_expr
 from ..sources.table import (
     PARENT_FILES,
+    CommitConflictError,
     SequenceTable,
     bucket_expr,
     lww_resolve,
@@ -143,7 +145,7 @@ def _run_dml(
         hit = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.col("_deleted")
         ts = time.time()
         sv = snap["schema_version"]
-        bid = f"__{op_name}__-{snap['snapshot_id']}"
+        bid = f"__{op_name}__-{snap['snapshot_id']}-{uuid.uuid4().hex[:8]}"
         resolved = lww_resolve(table._read_files(spark, snap, target))
         delta_files = table._write_data_files(
             transform(resolved.filter(hit), ts),
@@ -154,18 +156,42 @@ def _run_dml(
         if rows == 0:
             return None
         wall_ms = int((time.monotonic() - t0) * 1000)
-        sid = table.commit(
-            bid, delta_files, PARENT_FILES,
-            lineage={
-                "dml": op_name, "mode": "mor", "predicate": predicate,
-                "rows_affected": rows, "groups_rewritten": [],
-                "wall_ms": wall_ms, **lineage_extra,
-            },
-            # the delta files ARE this commit's change feed — zero extra IO
-            change_files=delta_files,
-            expected_parent_id=snap["snapshot_id"],
+        # MOR deltas are parent-independent (the same property the MOR
+        # apply's retry loop exploits), and an interleaved newer source
+        # event beating the bump is exactly the documented "fix holds
+        # until the source speaks again" LWW semantics — so retry the
+        # commit across concurrent commits instead of failing; only a
+        # stale bucket layout or a schema move forces a re-plan.
+        for _ in range(5):
+            cur = (snap if table.latest_snapshot_id() == snap["snapshot_id"]
+                   else table.snapshot())
+            if cur["n_buckets"] % snap["n_buckets"] != 0:
+                raise CommitConflictError(
+                    f"{op_name}: table rebucketed {snap['n_buckets']}->"
+                    f"{cur['n_buckets']} mid-DML (not a multiple); re-plan"
+                )
+            if cur["schema_version"] != snap["schema_version"]:
+                raise CommitConflictError(
+                    f"{op_name}: schema version moved mid-DML; re-plan"
+                )
+            try:
+                sid = table.commit(
+                    bid, delta_files, PARENT_FILES,
+                    lineage={
+                        "dml": op_name, "mode": "mor", "predicate": predicate,
+                        "rows_affected": rows, "groups_rewritten": [],
+                        "wall_ms": wall_ms, **lineage_extra,
+                    },
+                    # the delta files ARE this commit's change feed
+                    change_files=delta_files,
+                    expected_parent_id=cur["snapshot_id"],
+                )
+                return DmlResult(sid, rows, 0, wall_ms)
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"{op_name}: commit lost the race 5 times"
         )
-        return DmlResult(sid, rows, 0, wall_ms)
 
     resolved = lww_resolve(table._read_files(spark, snap, target)).persist()
     try:
@@ -176,7 +202,7 @@ def _run_dml(
         hit = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.col("_deleted")
         ts = time.time()
         sv = snap["schema_version"]
-        bid = f"__{op_name}__-{snap['snapshot_id']}"
+        bid = f"__{op_name}__-{snap['snapshot_id']}-{uuid.uuid4().hex[:8]}"
         # change set first: zero affected winners ⇒ abort commit-free
         # (the raw-row group scan matched only stale versions)
         change_files = table._write_data_files(
@@ -518,7 +544,7 @@ def merge_into(
             return None
         helper = ["_m_del", "_m_upd", "_m_ins", "_m_keep"]
         sv = snap["schema_version"]
-        bid = f"__merge_into__-{snap['snapshot_id']}"
+        bid = f"__merge_into__-{snap['snapshot_id']}-{uuid.uuid4().hex[:8]}"
         change_files = table._write_data_files(
             merged.filter("_m_del OR _m_upd OR _m_ins").drop(*helper),
             snap["n_buckets"], sv, batch_tag=f"{bid}chg", kind="changelog",

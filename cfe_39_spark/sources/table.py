@@ -52,6 +52,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import datetime
+import hashlib
 import os
 import threading
 import time
@@ -2843,8 +2844,13 @@ class SequenceTable:
         # stream keeps flowing while maintenance runs); a commit into a
         # group being compacted re-plans loudly rather than silently
         # dropping the concurrent writer's files from the carried manifest
+        # the bid carries the group set: two compactions planned at the
+        # SAME parent over DISJOINT groups are distinct operations (both
+        # land via rebase) — only an identical (parent, groups) re-run
+        # no-ops on the replay guard
+        gtag = hashlib.md5(",".join(map(str, buckets)).encode()).hexdigest()[:8]
         return self.commit_rebase(
-            f"__compact__-{snap['snapshot_id']}",
+            f"__compact__-{snap['snapshot_id']}-{gtag}",
             new_files,
             snap,
             groups,

@@ -470,3 +470,21 @@ def test_compact_rebases_over_disjoint_concurrent_commit(spark, tmp_path):
     exp.loc[m, "n_tok"] = 3
     exp.loc[m, "source"] = "concurrent"
     assert_state_equal(t.read(spark), exp)
+
+
+def test_mor_dml_commits_across_concurrent_commit(spark, tmp_path):
+    """MOR DML deltas are parent-independent: a concurrent commit — even
+    into the SAME group — doesn't force a re-plan; both writes land and
+    LWW resolves (documented 'fix holds until the source speaks again')."""
+    from cfe_39_spark.operators.dml import delete_where
+
+    fx, t, victim, _, same = _rebase_setup(spark, tmp_path)
+    handle = SequenceTable(t.root)
+    stale = handle.snapshot()
+    _concurrent_event(spark, t.root, same)  # same group as victim
+    _serve_stale(handle, stale, times=2)
+    r = delete_where(spark, handle, f"doc_id = '{victim}'", mode="mor")
+    assert r is not None and r.rows_affected == 1
+    got = t.read(spark).toPandas()
+    assert victim not in set(got["doc_id"])
+    assert list(got.set_index("doc_id").loc[same, "tokens"]) == [9, 9, 9]
