@@ -266,3 +266,68 @@ def test_submit_wap_cycle(spark, tmp_path, capsys):
         submit_ingest.parse_args(
             ["branch", "--table", table, "--drop", "audit", "--publish", "audit"]
         )
+
+
+def test_submit_cherry_pick_and_txn_recover(spark, tmp_path, capsys):
+    """The refs escape hatch + txn recovery on the spark-submit surface."""
+    from pyspark.sql import functions as F
+
+    from cfe_39_spark.operators.cdc import apply_batch
+    from cfe_39_spark.operators.txn import MultiTableTransaction
+
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=10, n_events=30, n_segments=1, seed=73),
+    )
+    table = str(tmp_path / "t")
+    run_cli(capsys, "bootstrap", "--table", table,
+            "--initial", str(tmp_path / "fx" / "initial.parquet"),
+            "--buckets", "2")
+    t = SequenceTable(table)
+    doc = sorted(fx["expected"]["doc_id"])[0]
+
+    def ev(toks, src):
+        return spark.createDataFrame(
+            [(doc, "U", 10 ** 7, 1, toks, len(toks), src, 1)],
+            "doc_id string, op string, offset long, epoch long, "
+            "tokens array<int>, n_tok int, source string, schema_version int",
+        ).select(
+            "doc_id", "op", "offset",
+            F.current_timestamp().alias("event_time"), "epoch",
+            F.lit(0).alias("src_partition"), "schema_version",
+            "tokens", "n_tok", "source",
+        )
+
+    fork = t.latest_snapshot_id()
+    t.create_branch("fix")
+    apply_batch(spark, t.branch("fix"), ev([7], "branch"), batch_id="s1",
+                compact_threshold=None)
+    other = sorted(fx["expected"]["doc_id"])[1]
+    apply_batch(spark, t, ev([1], "main").withColumn("doc_id", F.lit(other)),
+                batch_id="m1", compact_threshold=None)
+
+    head = t.branches()["fix"]
+    r = run_cli(capsys, "cherry-pick", "--table", table,
+                "--snapshot", str(head), "--from-snapshot", str(fork))
+    assert not r["noop"] and r["rows_applied"] == 1
+    got = t.read(spark).toPandas().set_index("doc_id")
+    assert list(got.loc[doc, "tokens"]) == [7]
+
+    # txn-recover: a decision record with the work already landed (the
+    # degenerate-but-real recovery case) clears cleanly via the CLI
+    txn = MultiTableTransaction([t], txn_id="clirec")
+    txn.begin()
+    apply_batch(spark, txn.handle(t), ev([8, 8], "txn"), batch_id="tx1",
+                compact_threshold=None)
+    real = MultiTableTransaction._roll_forward
+    MultiTableTransaction._roll_forward = staticmethod(
+        lambda *_: (_ for _ in ()).throw(RuntimeError("crash")))
+    try:
+        with pytest.raises(RuntimeError):
+            txn.commit(spark)
+    finally:
+        MultiTableTransaction._roll_forward = staticmethod(real)
+    r = run_cli(capsys, "txn-recover", "--coordinator", txn.coordinator_dir)
+    assert r == {"recovered": ["clirec"]}
+    got = t.read(spark).toPandas().set_index("doc_id")
+    assert list(got.loc[doc, "tokens"]) == [8, 8]

@@ -219,6 +219,25 @@ def cmd_merge(spark, args):
             "snapshot_id": r.snapshot_id}
 
 
+def cmd_cherry_pick(spark, args):
+    from cfe_39_spark.operators.cdc import cherry_pick
+    from cfe_39_spark.sources.table import SequenceTable
+
+    t = SequenceTable(args.table)
+    r = cherry_pick(spark, t, args.snapshot,
+                    from_snapshot_id=args.from_snapshot)
+    return {"snapshot_id": r.snapshot_id, "rows_applied": r.rows_applied,
+            "noop": r.noop, "picked": args.snapshot,
+            "from_snapshot": args.from_snapshot}
+
+
+def cmd_txn_recover(spark, args):
+    from cfe_39_spark.operators.txn import MultiTableTransaction
+
+    done = MultiTableTransaction.recover(spark, args.coordinator)
+    return {"recovered": done}
+
+
 def cmd_rollback(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -480,6 +499,23 @@ def parse_args(argv):
     mg.add_argument("--no-insert", action="store_true",
                     help="skip the not-matched insert clause")
 
+    cp = sub.add_parser("cherry-pick",
+                        help="re-land a commit (or staged span) onto the "
+                             "current head by LWW — the publish escape "
+                             "hatch when main moved")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--snapshot", type=_sid_or_ref, required=True,
+                    help="snapshot id / tag / branch name to pick")
+    cp.add_argument("--from-snapshot", type=_sid_or_ref, default=None,
+                    help="pick the whole (from, to] span (e.g. the "
+                         "branch's fork point); default: single commit")
+
+    tr = sub.add_parser("txn-recover",
+                        help="finish multi-table transactions whose "
+                             "process died after the decision record")
+    tr.add_argument("--coordinator", required=True,
+                    help="the transaction coordinator directory")
+
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-snapshot", type=_sid_or_ref, required=True,
@@ -576,6 +612,8 @@ COMMANDS = {
     "delete-where": cmd_delete_where,
     "update-where": cmd_update_where,
     "merge": cmd_merge,
+    "cherry-pick": cmd_cherry_pick,
+    "txn-recover": cmd_txn_recover,
     "rollback": cmd_rollback,
     "compact": cmd_compact,
     "evolve-spec": cmd_evolve_spec,
