@@ -426,15 +426,24 @@ def merge_into(
                 "insert/default-upsert clause)"
             )
 
+    # materialize the (possibly expensive) source ONCE: the cardinality
+    # check, the bucket-group planning and the merge join all read this
+    # persisted projection instead of recomputing the caller's plan
+    src = source.select(
+        *[F.col(c).alias(f"src_{c}") for c in source.columns],
+        F.lit(True).alias("_src_present"),
+    ).persist()
+
     # cardinality + key sanity in one bounded job (partial-agg combine,
     # LIMIT 1 — O(|source|) scan, O(1) driver)
     bad_key = (
-        source.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_c"))
-        .filter((F.col("_c") > 1) | F.col("doc_id").isNull())
+        src.groupBy("src_doc_id").agg(F.count(F.lit(1)).alias("_c"))
+        .filter((F.col("_c") > 1) | F.col("src_doc_id").isNull())
         .limit(1).collect()
     )
     if bad_key:
-        k = bad_key[0]["doc_id"]
+        src.unpersist()
+        k = bad_key[0]["src_doc_id"]
         raise MergeCardinalityError(
             "merge_into: source has a NULL merge key" if k is None
             else f"merge_into: source has {bad_key[0]['_c']} rows for "
@@ -444,18 +453,15 @@ def merge_into(
     s_min = table._min_live_spec(snap)
     groups = sorted(
         r["_g"]
-        for r in source.select(bucket_expr("doc_id", s_min).alias("_g"))
+        for r in src.select(bucket_expr("src_doc_id", s_min).alias("_g"))
         .distinct().collect()
     )
     if not groups:
+        src.unpersist()
         return None
     gset = set(groups)
     target = [e for e in snap["files"] if e["bucket"] % s_min in gset]
 
-    src = source.select(
-        *[F.col(c).alias(f"src_{c}") for c in source.columns],
-        F.lit(True).alias("_src_present"),
-    )
     resolved = lww_resolve(table._read_files(spark, snap, target))
     joined = resolved.join(
         src, resolved["doc_id"] == src["src_doc_id"], "full_outer"
@@ -573,3 +579,4 @@ def merge_into(
                            rows_inserted=n_ins)
     finally:
         merged.unpersist()
+        src.unpersist()

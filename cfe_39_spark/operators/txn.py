@@ -116,8 +116,19 @@ class MultiTableTransaction:
         return self._handles[root]
 
     def abort(self) -> None:
-        """Discard all staged work (pre-decision only — after commit()'s
-        decision record the transaction rolls FORWARD, never back)."""
+        """Discard all staged work.  Pre-decision only — after commit()'s
+        decision record the transaction rolls FORWARD, never back: if the
+        record exists (commit crashed mid-publish), abort refuses, because
+        dropping the txn branches here would make recover() read each
+        missing ref as "already landed" and silently lose the committed
+        transaction on the tables it had not reached yet."""
+        path = os.path.join(self.coordinator_dir, f"{self.txn_id}.json")
+        if fs.exists(path):
+            raise RuntimeError(
+                f"txn {self.txn_id}: decision record exists — the "
+                "transaction is committed and must roll forward; run "
+                "MultiTableTransaction.recover() instead of abort()"
+            )
         for t in self.tables:
             try:
                 t.drop_branch(self.branch_name)

@@ -118,6 +118,12 @@ def test_txn_crash_after_decision_rolls_forward(spark, tmp_path):
                 .loc[d2, "tokens"]) != [8]
     assert glob.glob(os.path.join(txn.coordinator_dir, "*.json"))
 
+    # post-decision the txn must roll FORWARD: abort would drop the txn
+    # branches and recover() would then mistake them for already-landed
+    with pytest.raises(RuntimeError, match="roll forward"):
+        txn.abort()
+    assert txn.branch_name in t2.branches(), "abort must not touch refs"
+
     done = MultiTableTransaction.recover(spark, txn.coordinator_dir)
     assert done == ["crashy"]
     assert list(t2.read(spark).toPandas().set_index("doc_id")
