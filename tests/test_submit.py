@@ -182,6 +182,31 @@ def test_submit_stream_cmd(spark, tmp_path, capsys):
     assert_state_equal(SequenceTable(table).read(spark), fx["expected"])
 
 
+def test_submit_route_cmd(spark, tmp_path, capsys):
+    """One multiplexed log fanned out to two tables by SQL predicate;
+    CLI reports per-route snapshots and a zero unrouted count when the
+    routes partition the feed."""
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=15, n_events=60, n_segments=2, seed=103),
+    )
+    ta, tb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    even = "cast(substring(doc_id, -1, 1) as int) % 2 = 0"
+    odd = "cast(substring(doc_id, -1, 1) as int) % 2 = 1"
+    for t in (ta, tb):
+        run_cli(capsys, "bootstrap", "--table", t, "--buckets", "4")
+    r = run_cli(capsys, "route",
+                "--log", str(tmp_path / "fx" / "segments"),
+                "--checkpoint", str(tmp_path / "chk"),
+                "--route", f"even={ta}={even}",
+                "--route", f"odd={tb}={odd}")
+    assert r["events_unrouted"] == 0 and r["events_in"] > 0
+    assert set(r["snapshots"]) == {"even", "odd"}
+    got = SequenceTable(ta).read(spark).toPandas()
+    assert len(got) > 0
+    assert all(int(d[-1]) % 2 == 0 for d in got["doc_id"])
+
+
 def test_submit_mirror_cmd(spark, tmp_path, capsys):
     fx = write_fixture(
         str(tmp_path / "fx"),

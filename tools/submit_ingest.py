@@ -85,6 +85,33 @@ def cmd_stream(spark, args):
     return {"batches": n, "snapshot_id": t.latest_snapshot_id()}
 
 
+def cmd_route(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+    from cfe_39_spark.streaming.routing import Route, run_routed_stream
+
+    routes = []
+    for spec in args.route:
+        try:
+            name, root, pred = spec.split("=", 2)
+        except ValueError:
+            raise SystemExit(
+                f"--route {spec!r}: expected NAME=TABLE_ROOT=SQL_PREDICATE"
+            )
+        routes.append(Route(name, SequenceTable(root), pred))
+    out = run_routed_stream(
+        spark, args.log, routes, checkpoint=args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.continuous,
+        unrouted_dir=args.unrouted,
+    )
+    return {
+        "batches": len(out),
+        "events_in": sum(r.events_in for r in out),
+        "events_unrouted": sum(r.events_unrouted for r in out),
+        "snapshots": {r.name: r.table.latest_snapshot_id() for r in routes},
+    }
+
+
 def cmd_replay(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
     from cfe_39_spark.streaming.ingest import replay
@@ -419,6 +446,22 @@ def parse_args(argv):
                    help="stage commits on this branch (WAP); publish with "
                         "the branch --publish subcommand")
 
+    rt = sub.add_parser(
+        "route",
+        help="tail ONE multiplexed log into N tables (Debezium-style "
+             "one-topic-many-tables fan-out; per-route exactly-once)")
+    rt.add_argument("--log", required=True)
+    rt.add_argument("--checkpoint", required=True)
+    rt.add_argument("--route", action="append", required=True,
+                    metavar="NAME=TABLE_ROOT=SQL_PREDICATE",
+                    help="repeatable; rows matching the predicate apply to "
+                         "that table (an event may match several routes)")
+    rt.add_argument("--max-files-per-trigger", type=int, default=4)
+    rt.add_argument("--continuous", action="store_true")
+    rt.add_argument("--unrouted", default=None,
+                    help="dir for events matching no route (counted either "
+                         "way — never silently dropped)")
+
     r = sub.add_parser("replay", help="deterministic batch replay (S2)")
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
@@ -606,6 +649,7 @@ def parse_args(argv):
 COMMANDS = {
     "bootstrap": cmd_bootstrap,
     "stream": cmd_stream,
+    "route": cmd_route,
     "replay": cmd_replay,
     "changes": cmd_changes,
     "mirror": cmd_mirror,
