@@ -63,6 +63,7 @@ def route_batch(
     df: DataFrame,
     batch_id,
     unrouted_dir: "str | None" = None,
+    max_concurrency: int = 1,
     **common_kwargs,
 ) -> RouteBatchResult:
     """Fan one micro-batch out to every route's table.
@@ -75,6 +76,14 @@ def route_batch(
     ``unrouted_dir``: where events matching NO route are parqueted
     (per-batch file, replayable); None keeps only the count.  Unrouted
     events are a wiring bug or an upstream surprise — never silent.
+
+    ``max_concurrency`` > 1 applies routes on a thread pool: the targets
+    are DISTINCT tables (disjoint commit locks, independent Spark jobs —
+    concurrent job submission from threads is a supported Spark pattern),
+    so with many routes the trigger wall drops from the SUM of route
+    applies to roughly the MAX; the persisted batch is scanned by all of
+    them without recomputation.  Correctness is unchanged: a crash still
+    rolls forward per table on replay, whatever subset of routes landed.
     """
     names = [r.name for r in routes]
     if len(set(names)) != len(names):
@@ -84,15 +93,26 @@ def route_batch(
     df = df.persist()
     try:
         events_in = df.count()  # also materializes the persist ONCE
-        results: dict[str, ApplyResult] = {}
-        for r in routes:
-            sub = df.filter(
-                F.coalesce(F.expr(r.predicate), F.lit(False))
-            )
-            results[r.name] = apply_batch(
+
+        def _one(r: Route) -> ApplyResult:
+            sub = df.filter(F.coalesce(F.expr(r.predicate), F.lit(False)))
+            return apply_batch(
                 spark, r.table, sub, batch_id=f"{batch_id}@{r.name}",
                 **{**common_kwargs, **r.apply_kwargs},
             )
+
+        results: dict[str, ApplyResult] = {}
+        if max_concurrency > 1 and len(routes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_concurrency, len(routes))
+            ) as pool:
+                for r, res in zip(routes, pool.map(_one, routes)):
+                    results[r.name] = res
+        else:
+            for r in routes:
+                results[r.name] = _one(r)
         matched_any = None
         for r in routes:
             p = F.coalesce(F.expr(r.predicate), F.lit(False))

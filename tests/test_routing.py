@@ -119,6 +119,39 @@ def test_route_batch_unrouted_quarantined_not_dropped(spark, tmp_path):
     assert set(df.columns) == set(q.columns)
 
 
+def test_route_batch_concurrent_equals_sequential(spark, tmp_path):
+    """max_concurrency > 1 fans the per-route applies onto a thread pool
+    (distinct tables, disjoint commit locks); final states must be
+    byte-identical to the sequential path — same derived batch ids, same
+    LWW outcome."""
+    fx = _fixture(tmp_path, seed=75, n_events=400)
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+
+    def build(prefix):
+        init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+        routes = []
+        for m in range(4):
+            pred = f"cast(substring(doc_id, -1, 1) as int) % 4 = {m}"
+            t = SequenceTable.create(
+                spark, str(tmp_path / f"{prefix}{m}"),
+                init.filter(F.expr(pred)), n_buckets=2)
+            routes.append(Route(f"m{m}", t, pred))
+        return routes
+
+    seq, par = build("s"), build("p")
+    for i, s in enumerate(segs):
+        df = spark.read.parquet(s)
+        route_batch(spark, seq, df, i, compact_threshold=None)
+        route_batch(spark, par, df, i, max_concurrency=4,
+                    compact_threshold=None)
+    for rs, rp in zip(seq, par):
+        a = rs.table.read(spark).orderBy("doc_id").toPandas()
+        b = rp.table.read(spark).orderBy("doc_id").toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        for x, y in zip(a["tokens"], b["tokens"]):
+            assert list(x) == list(y)
+
+
 def test_route_batch_validations(spark, tmp_path):
     fx = _fixture(tmp_path, seed=74, n_events=100)
     ta, tb = _route_tables(spark, tmp_path, fx)
