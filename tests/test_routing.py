@@ -152,6 +152,34 @@ def test_route_batch_concurrent_equals_sequential(spark, tmp_path):
             assert list(x) == list(y)
 
 
+def test_routed_stream_schema_evolution_mid_stream(spark, tmp_path):
+    """A schema-version bump inside the multiplexed feed must evolve
+    EVERY route's table independently (each apply_batch sees the bump in
+    its slice) and still match the per-route oracles, evolved column
+    included."""
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=60, n_events=360, n_segments=3, seed=76,
+                  evolution=[(1, {"action": "add_column", "name": "quality"})]),
+    )
+    ta, tb = _route_tables(spark, tmp_path, fx)
+    routes = [Route("even", ta, EVEN_SQL), Route("odd", tb, ODD_SQL)]
+    run_routed_stream(
+        spark, str(tmp_path / "fx" / "segments"), routes,
+        str(tmp_path / "cp"), max_files_per_trigger=1,
+        compact_threshold=None,
+    )
+    for t, keep in ((ta, _even), (tb, lambda d: not _even(d))):
+        assert t.snapshot()["schema_version"] == 2
+        assert "quality" in [f.name for f in t.user_schema().fields]
+        exp = _oracle(fx, keep)
+        got = (t.read(spark).orderBy("doc_id").toPandas()
+               [list(exp.columns)].reset_index(drop=True))
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        for a, b in zip(got["quality"], exp["quality"]):
+            assert (a is None or a != a) if (b is None or b != b) else a == b
+
+
 def test_route_batch_validations(spark, tmp_path):
     fx = _fixture(tmp_path, seed=74, n_events=100)
     ta, tb = _route_tables(spark, tmp_path, fx)
