@@ -180,6 +180,30 @@ def test_routed_stream_schema_evolution_mid_stream(spark, tmp_path):
             assert (a is None or a != a) if (b is None or b != b) else a == b
 
 
+def test_routed_wap_stages_then_publishes(spark, tmp_path):
+    """Routing composes with write-audit-publish: routes targeting
+    BranchHandles stage the whole multiplexed ingest invisibly; mains
+    stay at their bootstrap state until each table fast-forwards, after
+    which both match their per-route oracles."""
+    fx = _fixture(tmp_path, seed=77, n_events=300)
+    ta, tb = _route_tables(spark, tmp_path, fx)
+    ta.create_branch("audit")
+    tb.create_branch("audit")
+    heads = (ta.latest_snapshot_id(), tb.latest_snapshot_id())
+    routes = [Route("even", ta.branch("audit"), EVEN_SQL),
+              Route("odd", tb.branch("audit"), ODD_SQL)]
+    run_routed_stream(
+        spark, str(tmp_path / "fx" / "segments"), routes,
+        str(tmp_path / "cp"), compact_threshold=None,
+    )
+    # staged: mains unmoved
+    assert (ta.latest_snapshot_id(), tb.latest_snapshot_id()) == heads
+    ta.fast_forward("audit")
+    tb.fast_forward("audit")
+    _assert_state(spark, ta, _oracle(fx, _even))
+    _assert_state(spark, tb, _oracle(fx, lambda d: not _even(d)))
+
+
 def test_route_batch_validations(spark, tmp_path):
     fx = _fixture(tmp_path, seed=74, n_events=100)
     ta, tb = _route_tables(spark, tmp_path, fx)
