@@ -30,7 +30,8 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
     from .table import SequenceTable
 
-VIEWS = ("snapshots", "history", "refs", "manifests", "files", "schemas")
+VIEWS = ("snapshots", "history", "refs", "manifests", "files", "schemas",
+         "lineage", "metrics")
 
 _SNAPSHOTS_SCHEMA = T.StructType([
     T.StructField("snapshot_id", T.LongType(), False),
@@ -280,4 +281,33 @@ def inspect_df(
         return files_df(spark, table, at)
     if view == "schemas":
         return schemas_df(spark, table, at)
+    if view in ("lineage", "metrics"):
+        return _trail_df(spark, table, view)
     raise ValueError(f"unknown metadata view {view!r}; have {VIEWS}")
+
+
+def _trail_df(spark: "SparkSession", table: "SequenceTable", view: str) -> "DataFrame":
+    """The two operational trails as metadata tables: ``lineage`` =
+    per-batch × source-partition apply records (S5 data plane),
+    ``metrics`` = per-trigger StreamingQueryProgress (S5 control plane).
+    Both are ordinary parquet directories beside the table, so this is a
+    distributed scan like ``files`` — the driver never holds the trail.
+    A table that has not streamed yet yields a typed EMPTY frame (same
+    schema), so dashboards need no existence special-case."""
+    import os
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ..streaming.lineage import (
+        LINEAGE_SCHEMA,
+        METRICS_SCHEMA,
+        lineage_dir,
+        metrics_dir,
+    )
+
+    d = lineage_dir(table.root) if view == "lineage" else metrics_dir(table.root)
+    arrow = LINEAGE_SCHEMA if view == "lineage" else METRICS_SCHEMA
+    schema = from_arrow_schema(arrow)
+    if not os.path.isdir(d):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(d)

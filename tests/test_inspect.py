@@ -133,6 +133,39 @@ def test_files_view_time_travel_by_ref(spark, tmp_path):
     assert len({r.path for r in table.inspect(spark, "files").collect()}) > len(old)
 
 
+def test_lineage_and_metrics_views(spark, tmp_path):
+    """The operational trails as metadata tables: lineage rows appear per
+    applied batch × source partition with the trail's typed schema; a
+    table that never streamed yields a typed EMPTY frame for both views
+    (no existence special-case for dashboards)."""
+    from cfe_39_spark.streaming.lineage import write_lineage
+
+    table, segs = _replayed(spark, tmp_path, seed=137)
+    fresh = SequenceTable.create(spark, str(tmp_path / "fresh"), None,
+                                 n_buckets=2)
+    # empty-trail shape before any streaming
+    for view in ("lineage", "metrics"):
+        df = fresh.inspect(spark, view)
+        assert df.count() == 0 and len(df.schema.fields) > 0
+
+    for i, s in enumerate(segs):
+        res = apply_batch(spark, table, spark.read.parquet(s), batch_id=i)
+        write_lineage(table.root, res)
+    lin = table.inspect(spark, "lineage")
+    rows = lin.collect()
+    assert {r.batch_id for r in rows} == {str(i) for i in range(len(segs))}
+    assert all(r.rows_applied >= 0 and r.max_offset >= r.min_offset
+               for r in rows)
+    # per-batch totals agree with the committed lineage footers
+    got = {r["batch_id"]: r["events"] for r in (
+        lin.groupBy("batch_id")
+        .agg({"events_in": "sum"})
+        .withColumnRenamed("sum(events_in)", "events").collect())}
+    for i in range(len(segs)):
+        snap = table.snapshot(table.find_batch(str(i)))
+        assert got[str(i)] == snap["lineage"]["events_in"]
+
+
 def test_inspect_unknown_view_raises(spark, tmp_path):
     table, _ = _replayed(spark, tmp_path)
     import pytest
