@@ -41,12 +41,21 @@ from .lineage import write_lineage
 @dataclass
 class Route:
     """One fan-out target: rows matching ``predicate`` (SQL over the
-    event columns; NULL reads as no-match) are applied to ``table``."""
+    event columns; NULL reads as no-match) are applied to ``table``.
+
+    ``transform`` (optional): DataFrame -> DataFrame applied to the
+    route's slice AFTER the filter, BEFORE the apply — the per-route
+    reshaping stage (Kafka Connect's single-message-transform role):
+    retag sources, redact a column for an audit copy, derive fields.
+    Must keep the event contract (ordering triple, op, doc_id) intact;
+    it runs inside the same Spark plan, so a pure-expression transform
+    adds no extra job or scan."""
 
     name: str
     table: SequenceTable
     predicate: str
     apply_kwargs: dict = field(default_factory=dict)
+    transform: "object | None" = None  # Callable[[DataFrame], DataFrame]
 
 
 @dataclass
@@ -96,6 +105,8 @@ def route_batch(
 
         def _one(r: Route) -> ApplyResult:
             sub = df.filter(F.coalesce(F.expr(r.predicate), F.lit(False)))
+            if r.transform is not None:
+                sub = r.transform(sub)
             return apply_batch(
                 spark, r.table, sub, batch_id=f"{batch_id}@{r.name}",
                 **{**common_kwargs, **r.apply_kwargs},

@@ -180,6 +180,40 @@ def test_routed_stream_schema_evolution_mid_stream(spark, tmp_path):
             assert (a is None or a != a) if (b is None or b != b) else a == b
 
 
+def test_route_transform_reshapes_slice(spark, tmp_path):
+    """A per-route transform (the single-message-transform role) reshapes
+    that route's slice only: the audit copy retags every event's source,
+    the primary route lands untouched events.  Oracle: the same retag
+    applied to the oracle's event slice before the pandas fold."""
+    fx = _fixture(tmp_path, seed=78, n_events=300)
+    ta, tb = _route_tables(spark, tmp_path, fx)
+
+    def retag(df):
+        return df.withColumn(
+            "source",
+            F.when(F.col("source").isNotNull(), F.lit("audited")),
+        )
+
+    routes = [Route("even", ta, EVEN_SQL),
+              Route("odd", tb, ODD_SQL, transform=retag)]
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    for i, s in enumerate(segs):
+        route_batch(spark, routes, spark.read.parquet(s), i,
+                    compact_threshold=None)
+    _assert_state(spark, ta, _oracle(fx, _even))  # untouched route
+
+    odd = lambda d: not _even(d)  # noqa: E731
+    init = pa.Table.from_pylist(
+        [r for r in fx["initial"].to_pylist() if odd(r["doc_id"])],
+        schema=fx["initial"].schema,
+    )
+    evs = [
+        dict(e, source="audited") if e["source"] is not None else e
+        for e in fx["events"] if odd(e["doc_id"])
+    ]
+    _assert_state(spark, tb, expected_state(init, evs))
+
+
 def test_routed_wap_stages_then_publishes(spark, tmp_path):
     """Routing composes with write-audit-publish: routes targeting
     BranchHandles stage the whole multiplexed ingest invisibly; mains
