@@ -103,6 +103,7 @@ def cmd_route(spark, args):
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.continuous,
         unrouted_dir=args.unrouted,
+        max_concurrency=args.max_concurrency,
     )
     return {
         "batches": len(out),
@@ -457,6 +458,10 @@ def parse_args(argv):
                     help="repeatable; rows matching the predicate apply to "
                          "that table (an event may match several routes)")
     rt.add_argument("--max-files-per-trigger", type=int, default=4)
+    rt.add_argument("--max-concurrency", type=int, default=1,
+                    help=">1 applies routes on a thread pool (distinct "
+                         "tables -> concurrent Spark jobs; trigger wall "
+                         "becomes ~max of route applies instead of sum)")
     rt.add_argument("--continuous", action="store_true")
     rt.add_argument("--unrouted", default=None,
                     help="dir for events matching no route (counted either "
