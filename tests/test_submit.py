@@ -207,6 +207,29 @@ def test_submit_route_cmd(spark, tmp_path, capsys):
     assert all(int(d[-1]) % 2 == 0 for d in got["doc_id"])
 
 
+def test_submit_view_refresh_cmd(spark, tmp_path, capsys):
+    fx = write_fixture(
+        str(tmp_path / "fx"),
+        GenConfig(n_docs_initial=15, n_events=60, n_segments=2, seed=109),
+    )
+    table = str(tmp_path / "t")
+    run_cli(capsys, "bootstrap", "--table", table,
+            "--initial", str(tmp_path / "fx" / "initial.parquet"),
+            "--buckets", "4")
+    run_cli(capsys, "replay", "--log", str(tmp_path / "fx" / "segments"),
+            "--table", table)
+    r = run_cli(capsys, "view-refresh", "--table", table,
+                "--view-dir", str(tmp_path / "view"),
+                "--group", "source", "--agg", "total_tok=n_tok")
+    assert r["refreshed"] and r["groups"] > 0
+    exp = len(fx["expected"].groupby("source"))
+    assert r["groups"] == exp
+    r2 = run_cli(capsys, "view-refresh", "--table", table,
+                 "--view-dir", str(tmp_path / "view"),
+                 "--group", "source", "--agg", "total_tok=n_tok")
+    assert not r2["refreshed"] and r2["cursor"] == r["cursor"]
+
+
 def test_submit_mirror_cmd(spark, tmp_path, capsys):
     fx = write_fixture(
         str(tmp_path / "fx"),

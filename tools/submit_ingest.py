@@ -113,6 +113,30 @@ def cmd_route(spark, args):
     }
 
 
+def cmd_view_refresh(spark, args):
+    from cfe_39_spark.sources.table import SequenceTable
+    from cfe_39_spark.streaming.aggview import AggregateView
+
+    aggs = {}
+    for spec in args.agg or []:
+        try:
+            name, expr = spec.split("=", 1)
+        except ValueError:
+            raise SystemExit(f"--agg {spec!r}: expected OUT_COL=SQL_EXPR")
+        aggs[name] = expr
+    view = AggregateView(
+        SequenceTable(args.table), args.view_dir,
+        args.group.split(","), aggs,
+    )
+    new_cursor = view.refresh(spark)
+    return {
+        "view_dir": args.view_dir,
+        "cursor": view.cursor(),
+        "refreshed": new_cursor is not None,
+        "groups": view.read(spark).count(),
+    }
+
+
 def cmd_replay(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
     from cfe_39_spark.streaming.ingest import replay
@@ -467,6 +491,18 @@ def parse_args(argv):
                     help="dir for events matching no route (counted either "
                          "way — never silently dropped)")
 
+    vr = sub.add_parser(
+        "view-refresh",
+        help="advance an incrementally-maintained aggregate view "
+             "(O(changed rows) per refresh; see streaming/aggview.py)")
+    vr.add_argument("--table", required=True)
+    vr.add_argument("--view-dir", required=True)
+    vr.add_argument("--group", required=True,
+                    help="comma-separated GROUP BY columns")
+    vr.add_argument("--agg", action="append", metavar="OUT_COL=SQL_EXPR",
+                    help="repeatable; each maintained as SUM(expr) "
+                         "(n_rows count always included)")
+
     r = sub.add_parser("replay", help="deterministic batch replay (S2)")
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
@@ -655,6 +691,7 @@ COMMANDS = {
     "bootstrap": cmd_bootstrap,
     "stream": cmd_stream,
     "route": cmd_route,
+    "view-refresh": cmd_view_refresh,
     "replay": cmd_replay,
     "changes": cmd_changes,
     "mirror": cmd_mirror,
