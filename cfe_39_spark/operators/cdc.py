@@ -593,7 +593,7 @@ def apply_batch(
     merged = j.select(merged_cols)
 
     new_files = table._write_data_files(
-        merged, n_buckets, sv, batch_tag=bid, sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter")
+        merged, n_buckets, sv, batch_tag=bid, sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"), zorder=snap.get("zorder")
     )
 
     # ---- S10: explicit change set (Delta-CDF role).  COW base files mix
@@ -734,7 +734,7 @@ def _apply_mor(
     t_w = time.monotonic()
     new_files = table._write_data_files(
         delta, n_buckets, sv if sv is not None else 0, batch_tag=bid, kind="delta",
-        sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
+        sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"), zorder=snap.get("zorder"),
     )
     got = obs.get if parts else {}
     applied_rows = [

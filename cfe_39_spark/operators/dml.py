@@ -150,7 +150,7 @@ def _run_dml(
         delta_files = table._write_data_files(
             transform(resolved.filter(hit), ts),
             snap["n_buckets"], sv, batch_tag=bid, kind="delta",
-            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
+            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"), zorder=snap.get("zorder"),
         )
         rows = sum(e["rows"] for e in delta_files)
         if rows == 0:
@@ -225,6 +225,7 @@ def _run_dml(
             batch_tag=bid,
             sort_cols=snap.get("sort_order"),
             bloom=snap.get("bloom_filter"),
+            zorder=snap.get("zorder"),
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         # group-scoped rebase: a concurrent commit on OTHER groups (the
@@ -558,7 +559,7 @@ def merge_into(
         new_files = table._write_data_files(
             merged.filter("_m_keep").drop(*helper),
             snap["n_buckets"], sv, batch_tag=bid,
-            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
+            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"), zorder=snap.get("zorder"),
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         sid = table.commit_rebase(

@@ -385,6 +385,9 @@ class SequenceTable:
         sort_order: list[str] | None = None,
         bloom_filter_cols: list[str] | None = None,
         bloom_filter_ndv: int | None = None,
+        zorder_cols: list[str] | None = None,
+        zorder_domains: "dict[str, tuple] | None" = None,
+        zorder_bits: int = 12,
     ) -> "SequenceTable":
         """``sort_order`` (opt-in, Iceberg write.sort-order role): column
         names every data write locally sorts by WITHIN each bucket file
@@ -406,7 +409,20 @@ class SequenceTable:
         distinct values per file so parquet-mr sizes the filter exactly
         (unset → its adaptive/max-bytes sizing, ~<1% of a full row
         group).  Both persist as table properties inherited by every
-        commit (MOR deltas, COW merges, compaction, rebucket)."""
+        commit (MOR deltas, COW merges, compaction, rebucket).
+
+        ``zorder_cols`` (opt-in, the Delta OPTIMIZE ZORDER / Iceberg
+        z-order-rewrite role; mutually exclusive with ``sort_order``):
+        >=2 numeric/timestamp columns whose bit-interleaved Morton key
+        replaces the linear sort — every write locally sorts each bucket
+        file by the key, so row groups cover small hyper-rectangles and
+        parquet min/max pruning engages for range filters on ANY z
+        column, not just the first (functions/zorder.py has the why and
+        the cost model).  ``zorder_domains`` maps each z column to its
+        fixed (lo, hi) quantization domain — declared once here, clamped
+        outside, so key ordering stays comparable across commits with
+        zero per-batch stats jobs.  ``zorder_bits`` is the per-column
+        resolution (bits * ncols <= 63)."""
         t = cls(root)
         if fs.exists(os.path.join(t.meta_dir, "_LATEST")):
             raise ValueError(f"table already exists at {root}")
@@ -427,6 +443,39 @@ class SequenceTable:
                 bloom["ndv"] = int(bloom_filter_ndv)
         elif bloom_filter_ndv is not None:
             raise ValueError("bloom_filter_ndv given without bloom_filter_cols")
+        zorder: dict | None = None
+        if zorder_cols:
+            from ..functions.zorder import validate_zorder
+
+            if sort_order:
+                raise ValueError("zorder_cols and sort_order are mutually exclusive")
+            bad = [c for c in zorder_cols if c not in known]
+            if bad:
+                raise ValueError(f"zorder columns not in schema: {bad}")
+            ztypes = {f.name: f.dataType.simpleString() for f in user_schema.fields}
+            nonnum = [
+                c
+                for c in zorder_cols
+                if ztypes[c]
+                not in ("tinyint", "smallint", "int", "bigint", "float", "double", "timestamp", "date")
+            ]
+            if nonnum:
+                raise ValueError(
+                    f"zorder columns must be numeric/timestamp: {nonnum} "
+                    "(strings belong to the bucket/bloom layers)"
+                )
+            validate_zorder(
+                list(zorder_cols),
+                {c: tuple(v) for c, v in (zorder_domains or {}).items() if c in zorder_cols},
+                zorder_bits,
+            )
+            zorder = {
+                "cols": list(zorder_cols),
+                "domains": {c: [float(zorder_domains[c][0]), float(zorder_domains[c][1])] for c in zorder_cols},
+                "bits": int(zorder_bits),
+            }
+        elif zorder_domains is not None:
+            raise ValueError("zorder_domains given without zorder_cols")
         files: list[dict] = []
         if initial is not None:
             stamped = (
@@ -439,7 +488,7 @@ class SequenceTable:
             )
             files = t._write_data_files(
                 stamped, n_buckets, schema_version, batch_tag="init",
-                sort_cols=sort_order, bloom=bloom,
+                sort_cols=sort_order, bloom=bloom, zorder=zorder,
             )
         snap = {
             "snapshot_id": 1,
@@ -460,6 +509,8 @@ class SequenceTable:
             snap["sort_order"] = list(sort_order)
         if bloom:
             snap["bloom_filter"] = bloom
+        if zorder:
+            snap["zorder"] = zorder
         fs.write_json_atomic(t._snap_path(1), snap)
         fs.write_atomic(os.path.join(t.meta_dir, "_LATEST"), "1")
         t._write_marker("__create__", 1)
@@ -1395,6 +1446,7 @@ class SequenceTable:
         kind: str = "base",
         sort_cols: "list[str] | None" = None,
         bloom: "dict | None" = None,
+        zorder: "dict | None" = None,
     ) -> list[dict]:
         """Write one commit's data files, bucketed by doc_id hash; return
         their manifest entries.  ``repartition(_bucket)`` then
@@ -1404,13 +1456,25 @@ class SequenceTable:
         stats on the sort key become tight for intra-file skipping.
         ``bloom`` (the table's opt-in ``bloom_filter`` property,
         ``{"cols": [...], "ndv": N?}``): per-column parquet bloom
-        filters, built by parquet-mr inside this same write job."""
+        filters, built by parquet-mr inside this same write job.
+        ``zorder`` (the table's opt-in ``zorder`` property, ``{"cols":
+        [...], "domains": {...}, "bits": b}``): local sort by the Morton
+        interleaved key instead — row-group stats become tight on EVERY
+        z column (functions/zorder.py); same no-extra-shuffle cost."""
         nonce = uuid.uuid4().hex[:8]
         out_dir = os.path.join(self.data_dir, f"commit-{batch_tag}-{nonce}")
         staged = df.withColumn("_bucket", bucket_expr("doc_id", n_buckets)).repartition(
             n_buckets, "_bucket"
         )
-        if sort_cols:
+        if zorder:
+            from ..functions.zorder import zorder_key
+
+            staged = (
+                staged.withColumn("_zkey", zorder_key(zorder))
+                .sortWithinPartitions("_bucket", "_zkey")
+                .drop("_zkey")
+            )
+        elif sort_cols:
             staged = staged.sortWithinPartitions("_bucket", *sort_cols)
         writer = staged.write
         if bloom:
@@ -1627,6 +1691,7 @@ class SequenceTable:
         expected_parent_id: int | None,
         lock: fs.mutex | None = None,
         field_ids: dict[str, int] | None = None,
+        layout_override: "dict | None" = None,
     ) -> int:
         existing = self.find_batch(str(batch_id), _locked=True)
         if existing is not None:
@@ -1711,10 +1776,14 @@ class SequenceTable:
         }
         if legacy_spec is not None:
             snap["legacy_spec_nb"] = legacy_spec
-        if parent.get("sort_order"):
-            snap["sort_order"] = parent["sort_order"]
-        if parent.get("bloom_filter"):
-            snap["bloom_filter"] = parent["bloom_filter"]
+        # layout properties inherit from the parent; a column-DDL commit
+        # passes layout_override so rename/drop keep them in sync with the
+        # new schema (a dangling sort/bloom/z column would break every
+        # later write at its sortWithinPartitions / writer option)
+        layout_src = parent if layout_override is None else layout_override
+        for prop in ("sort_order", "bloom_filter", "zorder"):
+            if layout_src.get(prop):
+                snap[prop] = layout_src[prop]
         fs.write_json_atomic(self._snap_path(sid), snap)
         if lock is not None:
             # the pointer swap is the irreversible step: if our lock was
@@ -1904,6 +1973,7 @@ class SequenceTable:
         lineage: dict,
         lock: "fs.mutex",
         snap: dict,
+        layout_override: "dict | None" = None,
     ) -> int:
         """Metadata-only schema commit: the parent's files are carried by
         manifest reference (zero data IO — Iceberg's ALTER TABLE shape),
@@ -1923,7 +1993,42 @@ class SequenceTable:
             expected_parent_id=snap["snapshot_id"],
             lock=lock,
             field_ids=new_map,
+            layout_override=layout_override,
         )
+
+    @staticmethod
+    def _layout_after_ddl(snap: dict, renames: "dict[str, str]", dropped: "str | None") -> dict:
+        """The table's layout properties (sort_order / bloom_filter /
+        zorder) after a rename/drop DDL, so they track the schema instead
+        of dangling: a renamed column follows its new name; a dropped
+        column is stripped (the property disappears when it empties, and
+        a zorder below 2 columns disappears whole — a 1-column Morton key
+        is just a linear sort with different quantization, not what the
+        user declared).  Always returned non-None so _commit_locked can
+        distinguish 'override with nothing' from 'inherit'."""
+        out: dict = {}
+        so = [renames.get(c, c) for c in snap.get("sort_order") or [] if c != dropped]
+        if so:
+            out["sort_order"] = so
+        bloom = snap.get("bloom_filter")
+        if bloom:
+            bc = [renames.get(c, c) for c in bloom["cols"] if c != dropped]
+            if bc:
+                out["bloom_filter"] = {**bloom, "cols": bc}
+        z = snap.get("zorder")
+        if z:
+            zc = [renames.get(c, c) for c in z["cols"] if c != dropped]
+            if len(zc) >= 2:
+                out["zorder"] = {
+                    **z,
+                    "cols": zc,
+                    "domains": {
+                        renames.get(c, c): v
+                        for c, v in z["domains"].items()
+                        if c != dropped
+                    },
+                }
+        return out
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE ... RENAME COLUMN: metadata-only (no file rewrite).
@@ -1953,6 +2058,7 @@ class SequenceTable:
             return self._ddl_commit(
                 f"rename_{old}_{new}", new_schema, new_map,
                 {"op": "rename", "from": old, "to": new}, lk, snap,
+                layout_override=self._layout_after_ddl(snap, {old: new}, None),
             )
 
     def drop_column(self, name: str) -> int:
@@ -1974,6 +2080,7 @@ class SequenceTable:
             return self._ddl_commit(
                 f"drop_{name}", new_schema, new_map,
                 {"op": "drop", "name": name}, lk, snap,
+                layout_override=self._layout_after_ddl(snap, {}, name),
             )
 
     def widen_column(self, name: str, dtype: T.DataType) -> int:
@@ -2834,7 +2941,7 @@ class SequenceTable:
             snap["n_buckets"],
             snap["schema_version"],
             batch_tag=f"compact{snap['snapshot_id']}",
-            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
+            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"), zorder=snap.get("zorder"),
         )
         lineage: dict[str, Any] = {"compacted_buckets": buckets}
         if drop_tombstones_before is not None:
@@ -2930,7 +3037,7 @@ class SequenceTable:
             state,
             new_n_buckets,
             snap["schema_version"],
-            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"),
+            sort_cols=snap.get("sort_order"), bloom=snap.get("bloom_filter"), zorder=snap.get("zorder"),
             batch_tag=f"rebucket{snap['snapshot_id']}",
         )
         return self.commit(

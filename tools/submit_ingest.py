@@ -57,11 +57,21 @@ def cmd_bootstrap(spark, args):
     initial = spark.read.parquet(args.initial) if args.initial else None
     so = args.sort_order.split(",") if args.sort_order else None
     bf = args.bloom_filter.split(",") if args.bloom_filter else None
+    zc, zd = None, None
+    if args.zorder:
+        # col:lo:hi,col:lo:hi — fixed quantization domains, declared once
+        zc, zd = [], {}
+        for part in args.zorder.split(","):
+            c, lo, hi = part.split(":")
+            zc.append(c)
+            zd[c] = (float(lo), float(hi))
     SequenceTable.create(spark, args.table, initial, n_buckets=args.buckets,
                          sort_order=so, bloom_filter_cols=bf,
-                         bloom_filter_ndv=args.bloom_ndv)
+                         bloom_filter_ndv=args.bloom_ndv,
+                         zorder_cols=zc, zorder_domains=zd,
+                         zorder_bits=args.zorder_bits)
     return {"table": args.table, "snapshot_id": 1, "n_buckets": args.buckets,
-            "sort_order": so, "bloom_filter": bf}
+            "sort_order": so, "bloom_filter": bf, "zorder": zc}
 
 
 def cmd_stream(spark, args):
@@ -453,6 +463,15 @@ def parse_args(argv):
                         "lookups without requiring a sort order)")
     b.add_argument("--bloom-ndv", type=int, default=None,
                    help="expected distinct values per file for bloom sizing")
+    b.add_argument("--zorder", default=None,
+                   help="z-order clustering spec col:lo:hi,col:lo:hi — "
+                        ">=2 numeric/timestamp columns with fixed "
+                        "quantization domains; every write sorts bucket "
+                        "files by the interleaved Morton key so row-group "
+                        "stats are tight on EVERY z column (mutually "
+                        "exclusive with --sort-order)")
+    b.add_argument("--zorder-bits", type=int, default=12,
+                   help="per-column z-order resolution (bits*ncols <= 63)")
 
     s = sub.add_parser("stream", help="tail the change log (S1/S7)")
     s.add_argument("--log", required=True)
