@@ -81,6 +81,13 @@ EPOCH0 = "1970-01-01 00:00:00"
 # list (COW merge, compaction) pass it materialized and pay a segment diff.
 PARENT_FILES = object()
 
+# Metadata format version stamped into every snapshot descriptor (the
+# Iceberg format-version role): readers accept <= FORMAT_VERSION and
+# refuse newer with a clear upgrade message instead of misreading keys
+# they do not understand.  Descriptors written before the stamp existed
+# read as version 1.
+FORMAT_VERSION = 1
+
 # Per-snapshot manifest-segment budget: commits coalesce the smallest
 # segments into one once the list grows past this, so segment count is
 # bounded by the budget, not by stream lifetime (amortized O(1) extra
@@ -491,6 +498,7 @@ class SequenceTable:
                 sort_cols=sort_order, bloom=bloom, zorder=zorder,
             )
         snap = {
+            "format_version": FORMAT_VERSION,
             "snapshot_id": 1,
             "parent_id": None,
             "batch_id": "__create__",
@@ -551,7 +559,16 @@ class SequenceTable:
         if isinstance(sid, str):
             sid = self.resolve_ref(sid)
         sid = sid if sid is not None else self.latest_snapshot_id()
-        return _Snapshot(fs.read_json(self._snap_path(sid)), self)
+        data = fs.read_json(self._snap_path(sid))
+        fv = int(data.get("format_version", 1))
+        if fv > FORMAT_VERSION:
+            raise ValueError(
+                f"table {self.root}: snapshot {sid} has format_version {fv} "
+                f"but this library reads <= {FORMAT_VERSION} — written by a "
+                "newer engine; upgrade before reading (refusing beats "
+                "silently ignoring metadata keys we do not understand)"
+            )
+        return _Snapshot(data, self)
 
     # -- named refs (tags): pinned, expiry-proof snapshots --------------- #
     def _refs_path(self) -> str:
@@ -1762,6 +1779,7 @@ class SequenceTable:
         elif n_buckets is not None and n_buckets != parent["n_buckets"]:
             legacy_spec = None  # full rewrite: single spec again
         snap = {
+            "format_version": FORMAT_VERSION,
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
             "batch_id": str(batch_id),
@@ -1874,6 +1892,7 @@ class SequenceTable:
             ]
             new_sid = max(taken + [latest]) + 1
             snap = {
+                "format_version": FORMAT_VERSION,
                 "snapshot_id": new_sid,
                 "parent_id": latest,
                 "batch_id": f"__rollback_to_{to_snapshot_id}__",

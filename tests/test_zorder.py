@@ -212,3 +212,31 @@ def test_ddl_keeps_layout_props_in_sync(spark, tmp_path):
     assert "sort_order" not in snap
     assert snap["bloom_filter"]["cols"] == ["source"]
     t2.rebucket(spark, 8)
+
+
+def test_box_filter_pushed_to_scan_after_compaction(spark, tmp_path):
+    """The read-path half of the story: on a compacted (all-base)
+    z-ordered table, a box filter reaches the parquet scan as
+    PushedFilters on BOTH z columns — the row-group pruning the tight
+    stats exist to serve.  (Dirty MOR groups legitimately filter above
+    their LWW resolution; compaction is what restores full pushdown.)"""
+    from cfe_39_spark.plans.audit import pushed_filters
+
+    grid = _grid_df(spark, 16)
+    t = SequenceTable.create(
+        spark, str(tmp_path / "t"), grid, n_buckets=2, user_schema=XY_SCHEMA,
+        zorder_cols=["x", "y"], zorder_domains={"x": (0, 1), "y": (0, 1)},
+    )
+    df = t.read(spark).filter(
+        (F.col("x") >= 0.25) & (F.col("x") <= 0.5)
+        & (F.col("y") >= 0.5) & (F.col("y") <= 0.75)
+    )
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        pf = pushed_filters(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    for frag in ("GreaterThanOrEqual(x", "LessThanOrEqual(x",
+                 "GreaterThanOrEqual(y", "LessThanOrEqual(y"):
+        assert frag in pf, f"{frag} not pushed: {pf!r}"
