@@ -1,0 +1,109 @@
+"""Throughput-vs-log-size sweep — the "does per-event cost hold as the
+log grows?" evidence for BENCH.md §4 (scale-up story).
+
+Replays logs of increasing size at a FIXED parallelism (local[32] by
+default) with a FIXED micro-batch size (2M events/segment) and a FIXED
+key cardinality (400k docs — the headline config), so the number of
+triggers AND the accumulated table state grow with the log while each
+trigger's shape stays identical: a flat events/sec line means per-
+trigger cost is O(batch) with a bounded orchestration floor — no
+O(table) term creeping into the apply path as state accumulates.
+
+Key cardinality must be held fixed or the sweep measures the wrong
+thing: with docs ∝ events (the headline's docs=events/10 rule), bigger
+logs have FEWER intra-batch duplicate keys per trigger, so the LWW
+winner set written per trigger grows ~2.5x from 4M to 12M and events/s
+"declines" for reasons that have nothing to do with accumulated state
+(measured 244k -> 156k ev/s before this was pinned; per-written-winner
+cost was flat).  Each log is generated, timed, and deleted before the
+next so peak scratch stays one-log-sized.
+
+    python tools/scale_sweep.py [sizes_millions ...]   # default: 4 12 24
+
+Prints one JSON line: {"sweep": [{"n_events":..., "segments":...,
+"walls": [...], "events_per_sec": ...}, ...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+FAST_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEG_EVENTS = 2_000_000  # fixed micro-batch size across the sweep
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SWEEP_DOCS", "400000"))  # fixed keys
+REPS = int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "2"))
+SEED = 42
+
+
+def gen(path: str, n: int, segs: int) -> None:
+    code = (
+        f"import sys; sys.path.insert(0, {ROOT!r});"
+        "from cfe_39_spark.fixtures import gen_bench_log_spark;"
+        "from cfe_39_spark.session import get_spark;"
+        f"s = get_spark(master='local[{CPUS}]', app_name='sweep-gen');"
+        "s.sparkContext.setLogLevel('ERROR');"
+        f"gen_bench_log_spark(s, {path!r}, {n}, {N_DOCS}, "
+        f"n_segments={segs}, mean_len=256, seed={SEED}, key_dist='uniform')"
+    )
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+        raise RuntimeError(f"gen failed:\n{r.stderr[-2000:]}")
+
+
+def run_one(log_dir: str) -> float:
+    script = os.path.join(ROOT, "tools", "scaling_bench.py")
+    out = subprocess.run(
+        [sys.executable, script, f"local[{CPUS}]", log_dir]
+        + ([FAST_DIR] if FAST_DIR else []),
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WALL "):
+            return float(line.split()[1])
+    raise RuntimeError(f"replay failed:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sizes = [int(a) * 1_000_000 for a in sys.argv[1:]] or [4_000_000, 12_000_000, 24_000_000]
+    sweep = []
+    for n in sizes:
+        segs = max(1, n // SEG_EVENTS)
+        d = tempfile.mkdtemp(prefix="cfe39-sweep-", dir=FAST_DIR)
+        log_dir = os.path.join(d, "log")
+        try:
+            t0 = time.monotonic()
+            gen(log_dir, n, segs)
+            print(f"# gen {n} events / {segs} segs: {time.monotonic()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            walls = []
+            for r in range(REPS):
+                walls.append(run_one(log_dir))
+                print(f"# {n} rep{r}: {walls[-1]:.1f}s "
+                      f"({n/walls[-1]/1000:.0f}k ev/s)", file=sys.stderr, flush=True)
+            wmed = sorted(walls)[len(walls) // 2] if len(walls) % 2 else (
+                sum(sorted(walls)[len(walls)//2-1:len(walls)//2+1]) / 2)
+            sweep.append({
+                "n_events": n, "segments": segs,
+                "walls": [round(w, 2) for w in walls],
+                "median_wall_sec": round(wmed, 2),
+                "events_per_sec": round(n / wmed, 1),
+            })
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"master": f"local[{CPUS}]", "seg_events": SEG_EVENTS,
+                      "n_docs": N_DOCS, "sweep": sweep}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
