@@ -1,0 +1,198 @@
+"""Table integrity checker (the `fsck` / Iceberg-maintenance validation
+role): walk a SequenceTable's metadata and report every broken invariant
+as a typed finding instead of letting readers discover corruption as a
+confusing failure deep inside a Spark job.
+
+Checks are metadata-shaped and bounded:
+
+* pointer + chain: `_LATEST` resolves, parses, and the parent chain walks
+  to its root without missing descriptors;
+* manifests: every manifest segment of the checked snapshot parses, and
+  every data/change file it references EXISTS on storage (existence
+  probes fan out on a thread pool — object-store HEADs, O(live files),
+  the one intentionally file-proportional check);
+* entry invariants: `bucket < spec_nb`, live spec divisibility (every
+  file's `spec_nb` divides the table's current `n_buckets` — the
+  contract every bucket-pruning site relies on), non-negative row counts;
+* refs: every tag and branch points at an existing descriptor;
+* idempotency layer: the checked snapshot's batch marker exists and
+  agrees with `batches.log` (crash-heal left nothing half-written);
+* schema registry: the current version is registered and its field-id
+  map covers exactly the schema's columns;
+* layout properties: `sort_order` / `bloom_filter` / `zorder` columns
+  all exist in the current schema (tables written before the round-4
+  DDL/layout sync can carry a dangling name that breaks the next write
+  — fsck flags it BEFORE a write dies on it);
+* `deep=True` adds a footer pass: each file's parquet row count must
+  match its manifest `rows` stamp (threadpooled footer reads, no data
+  scan).
+
+Returns an `FsckReport`; `report.ok` is True when nothing ERROR-level
+surfaced (INFO findings — e.g. legacy entries predating newer manifest
+keys — do not fail the check).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from . import fs
+from .table import SequenceTable
+
+
+@dataclass
+class Finding:
+    level: str  # "error" | "warn" | "info"
+    code: str
+    message: str
+
+
+@dataclass
+class FsckReport:
+    table: str
+    snapshot_id: int | None = None
+    files_checked: int = 0
+    findings: "list[Finding]" = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not any(f.level == "error" for f in self.findings)
+
+    def add(self, level: str, code: str, message: str) -> None:
+        self.findings.append(Finding(level, code, message))
+
+    def to_dict(self) -> dict:
+        return {
+            "table": self.table,
+            "snapshot_id": self.snapshot_id,
+            "files_checked": self.files_checked,
+            "ok": self.ok,
+            "findings": [vars(f) for f in self.findings],
+        }
+
+
+def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
+    """Run every check against the table's CURRENT committed state."""
+    rep = FsckReport(table.root)
+
+    # -- pointer + chain ------------------------------------------------ #
+    try:
+        head = table.latest_snapshot_id()
+        snap = table.snapshot(head)
+        rep.snapshot_id = head
+    except Exception as e:  # noqa: BLE001 — fsck reports, never raises
+        rep.add("error", "pointer", f"_LATEST does not resolve: {e}")
+        return rep
+    sid = snap["parent_id"]
+    seen = {head}
+    while sid is not None:
+        if sid in seen:
+            rep.add("error", "chain_cycle", f"parent chain revisits snapshot {sid}")
+            break
+        seen.add(sid)
+        try:
+            sid = table.snapshot(sid)["parent_id"]
+        except Exception as e:  # noqa: BLE001
+            rep.add("error", "chain_break",
+                    f"snapshot {sid} unreadable while walking parents: {e}")
+            break
+
+    # -- schema registry ------------------------------------------------ #
+    sv = str(snap["schema_version"])
+    if sv not in snap["schemas"]:
+        rep.add("error", "schema_unregistered",
+                f"current schema_version {sv} missing from the registry")
+    else:
+        names = {f.name for f in table.user_schema(snap).fields}
+        fids = (snap.get("field_ids") or {}).get(sv)
+        if fids is not None and set(fids) != names:
+            rep.add("error", "field_ids_mismatch",
+                    f"field-id map covers {sorted(fids)} but schema has "
+                    f"{sorted(names)}")
+
+    # -- layout properties ---------------------------------------------- #
+    names = {f.name for f in table.user_schema(snap).fields}
+    for prop, cols in (
+        ("sort_order", snap.get("sort_order") or []),
+        ("bloom_filter", (snap.get("bloom_filter") or {}).get("cols", [])),
+        ("zorder", (snap.get("zorder") or {}).get("cols", [])),
+    ):
+        dangling = [c for c in cols if c not in names]
+        if dangling:
+            rep.add("error", "layout_dangling",
+                    f"{prop} references missing column(s) {dangling} — the "
+                    "next write will fail; re-point or drop the property "
+                    "(tables written before the DDL/layout sync can carry this)")
+
+    # -- file entries ---------------------------------------------------- #
+    try:
+        entries = snap["files"]  # lazily concatenates manifest segments
+    except Exception as e:  # noqa: BLE001
+        rep.add("error", "manifest_unreadable",
+                f"a manifest segment of snapshot {head} is missing or "
+                f"corrupt: {e}")
+        return rep
+    nb = int(snap["n_buckets"])
+    for e in entries:
+        spec = int(e.get("spec_nb", nb))
+        if nb % spec != 0:
+            rep.add("error", "spec_divisibility",
+                    f"{e['path']}: spec_nb {spec} does not divide current "
+                    f"n_buckets {nb} — bucket pruning is unsound for it")
+        if not (0 <= int(e["bucket"]) < spec):
+            rep.add("error", "bucket_range",
+                    f"{e['path']}: bucket {e['bucket']} outside [0, {spec})")
+        if int(e["rows"]) < 0:
+            rep.add("error", "rows_negative", f"{e['path']}: rows {e['rows']}")
+
+    def probe(e: dict) -> "tuple[dict, bool]":
+        return e, fs.exists(os.path.join(table.root, e["path"]))
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(entries)))) as pool:
+        for e, present in pool.map(probe, entries):
+            rep.files_checked += 1
+            if not present:
+                rep.add("error", "file_missing",
+                        f"manifest references missing data file {e['path']}")
+
+    # -- refs ------------------------------------------------------------ #
+    refs = table._read_refs()
+    for kind in ("tags", "branches"):
+        for name, v in (refs.get(kind) or {}).items():
+            rsid = table._ref_sid(v)
+            if not fs.exists(table._snap_path(rsid)):
+                rep.add("error", "ref_dangling",
+                        f"{kind[:-1]} {name!r} points at missing snapshot {rsid}")
+
+    # -- idempotency layer ---------------------------------------------- #
+    bid = snap["batch_id"]
+    marked = table._read_marker(bid)
+    if marked is None:
+        rep.add("warn", "marker_missing",
+                f"no batch marker for head batch {bid!r} (GC'd markers are "
+                "legal; replay of this id would re-commit)")
+    elif marked != head:
+        rep.add("error", "marker_mismatch",
+                f"marker for {bid!r} says snapshot {marked}, head is {head}")
+
+    # -- deep: footer row counts ---------------------------------------- #
+    if deep and entries:
+        import pyarrow.parquet as pq
+
+        def rows_of(e: dict) -> "tuple[dict, int | None]":
+            try:
+                return e, pq.ParquetFile(
+                    os.path.join(table.root, e["path"])
+                ).metadata.num_rows
+            except Exception:  # noqa: BLE001 — missing already reported
+                return e, None
+
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as pool:
+            for e, n in pool.map(rows_of, entries):
+                if n is not None and n != int(e["rows"]):
+                    rep.add("error", "rows_mismatch",
+                            f"{e['path']}: manifest says {e['rows']} rows, "
+                            f"footer says {n}")
+    return rep

@@ -300,6 +300,14 @@ def cmd_txn_recover(spark, args):
     return {"recovered": done}
 
 
+def cmd_fsck(spark, args):
+    from cfe_39_spark.sources.fsck import check_table
+    from cfe_39_spark.sources.table import SequenceTable
+
+    rep = check_table(SequenceTable(args.table), deep=args.deep)
+    return rep.to_dict()
+
+
 def cmd_rollback(spark, args):
     from cfe_39_spark.sources.table import SequenceTable
 
@@ -619,6 +627,13 @@ def parse_args(argv):
     tr.add_argument("--coordinator", required=True,
                     help="the transaction coordinator directory")
 
+    fk = sub.add_parser("fsck", help="check table integrity (metadata walk "
+                        "+ file existence; exit 3 on errors)")
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--deep", action="store_true",
+                    help="also verify each file's parquet footer row count "
+                         "against its manifest stamp")
+
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-snapshot", type=_sid_or_ref, required=True,
@@ -720,6 +735,7 @@ COMMANDS = {
     "cherry-pick": cmd_cherry_pick,
     "txn-recover": cmd_txn_recover,
     "rollback": cmd_rollback,
+    "fsck": cmd_fsck,
     "compact": cmd_compact,
     "evolve-spec": cmd_evolve_spec,
     "expire": cmd_expire,
@@ -736,7 +752,8 @@ def main(argv=None):
     spark = build_session(args)
     out = COMMANDS[args.cmd](spark, args)
     print(json.dumps(out))
-    return 0
+    # integrity-check style commands report ok: False as a non-zero exit
+    return 0 if not isinstance(out, dict) or out.get("ok", True) else 3
 
 
 if __name__ == "__main__":
