@@ -45,7 +45,7 @@ def test_submit_cli_full_cycle(spark, tmp_path, capsys):
                 "--initial", str(tmp_path / "fx" / "initial.parquet"),
                 "--buckets", "4")
     assert r == {"table": table, "snapshot_id": 1, "n_buckets": 4,
-                 "sort_order": None, "bloom_filter": None}
+                 "sort_order": None, "bloom_filter": None, "zorder": None}
 
     r = run_cli(capsys, "replay", "--log", log, "--table", table)
     assert r["batches"] == 4
