@@ -177,6 +177,44 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
         rep.add("error", "marker_mismatch",
                 f"marker for {bid!r} says snapshot {marked}, head is {head}")
 
+    # -- orphan data dirs (info) ----------------------------------------- #
+    # read-only mirror of expire_snapshots' reachability sweep: a commit
+    # dir referenced by NO on-disk descriptor is a crash leftover or an
+    # in-flight commit that staged before taking the lock — report it,
+    # never touch it (the expiry GC owns deletion, with its grace window)
+    referenced: set[str] = set()
+    for f in fs.listdir(table.meta_dir):
+        if not f.startswith("snap-"):
+            continue
+        try:
+            s = table.snapshot(int(f[5:-5]))
+            for e in s["files"] + (s.get("change_files") or []):
+                referenced.add(
+                    os.path.dirname(os.path.dirname(
+                        os.path.join(table.root, e["path"])))
+                )
+        except Exception:  # noqa: BLE001 — unreadable snaps already reported
+            continue
+    orphans, orphan_bytes = 0, 0
+    try:
+        data_dirs = fs.listdir(table.data_dir)
+    except FileNotFoundError:
+        data_dirs = []
+    for d in data_dirs:
+        full = os.path.join(table.data_dir, d)
+        if full in referenced:
+            continue
+        orphans += 1
+        for root_, _, fns in os.walk(full):
+            orphan_bytes += sum(
+                os.path.getsize(os.path.join(root_, fn)) for fn in fns
+            )
+    if orphans:
+        rep.add("info", "orphan_data_dirs",
+                f"{orphans} commit dir(s) ({orphan_bytes} bytes) referenced "
+                "by no snapshot — crash leftovers or an in-flight commit; "
+                "expire_snapshots reclaims them after its grace window")
+
     # -- deep: footer row counts ---------------------------------------- #
     if deep and entries:
         import pyarrow.parquet as pq

@@ -97,3 +97,17 @@ def test_chain_break_reported_not_raised(spark, tmp_path):
     os.unlink(os.path.join(t.meta_dir, f"snap-{parent:012d}.json"))
     rep = check_table(t)
     assert "chain_break" in _codes(rep)
+
+
+def test_orphan_data_dir_reported_info_only(spark, tmp_path):
+    """An unreferenced commit dir is an INFO finding (the expiry GC owns
+    deletion) and does not fail the check."""
+    t = _mk(spark, tmp_path)
+    orphan = os.path.join(t.data_dir, "commit-crashed-deadbeef")
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    with open(os.path.join(orphan, "_bucket=0", "x.parquet"), "wb") as f:
+        f.write(b"junk")
+    rep = check_table(t)
+    assert rep.ok  # info never fails the check
+    infos = [f for f in rep.findings if f.code == "orphan_data_dirs"]
+    assert infos and "1 commit dir" in infos[0].message
