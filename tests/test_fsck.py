@@ -111,3 +111,68 @@ def test_orphan_data_dir_reported_info_only(spark, tmp_path):
     assert rep.ok  # info never fails the check
     infos = [f for f in rep.findings if f.code == "orphan_data_dirs"]
     assert infos and "1 commit dir" in infos[0].message
+
+
+# -- pure property test: DDL layout sync invariant (no Spark needed) ---- #
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_COLS = ["a", "b", "c", "d", "e"]
+
+
+@st.composite
+def _layout_snaps(draw):
+    cols = draw(st.lists(st.sampled_from(_COLS), min_size=0, max_size=4,
+                         unique=True))
+    snap = {}
+    if cols:
+        snap["sort_order"] = cols
+    bcols = draw(st.lists(st.sampled_from(_COLS), min_size=0, max_size=3,
+                          unique=True))
+    if bcols:
+        snap["bloom_filter"] = {"cols": bcols, "ndv": 100}
+    zcols = draw(st.lists(st.sampled_from(_COLS), min_size=2, max_size=3,
+                          unique=True)) if draw(st.booleans()) else []
+    if zcols:
+        snap["zorder"] = {"cols": zcols, "bits": 8,
+                          "domains": {c: [0.0, 1.0] for c in zcols}}
+    return snap
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    snap=_layout_snaps(),
+    ops=st.lists(
+        st.tuples(st.sampled_from(["rename", "drop"]),
+                  st.sampled_from(_COLS), st.sampled_from(["x", "y", "z"])),
+        min_size=1, max_size=5,
+    ),
+)
+def test_layout_after_ddl_invariants(snap, ops):
+    """After ANY sequence of renames/drops: every column a layout
+    property names is a column the schema still has; zorder keeps its
+    cols/domains keys aligned and >=2 columns or disappears; properties
+    never resurrect columns."""
+    schema = set(_COLS)
+    cur = dict(snap)
+    for op, col, new in ops:
+        if op == "rename":
+            if col not in schema or new in schema:
+                continue
+            cur = SequenceTable._layout_after_ddl(cur, {col: new}, None)
+            schema = (schema - {col}) | {new}
+        else:
+            if col not in schema:
+                continue
+            cur = SequenceTable._layout_after_ddl(cur, {}, col)
+            schema = schema - {col}
+        for c in cur.get("sort_order", []):
+            assert c in schema
+        for c in cur.get("bloom_filter", {}).get("cols", ["_ok"]) or []:
+            assert c == "_ok" or c in schema
+        z = cur.get("zorder")
+        if z:
+            assert len(z["cols"]) >= 2
+            assert set(z["cols"]) == set(z["domains"])
+            assert all(c in schema for c in z["cols"])
+        assert "sort_order" not in cur or cur["sort_order"]
+        assert "bloom_filter" not in cur or cur["bloom_filter"]["cols"]
