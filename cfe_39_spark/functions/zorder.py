@@ -48,12 +48,19 @@ def validate_zorder(cols: "list[str]", domains: "dict[str, tuple]", bits: int) -
             raise ValueError(f"zorder domain for {c!r} must have hi > lo: ({lo}, {hi})")
 
 
-def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
-    """Order-preserving map of a numeric/timestamp column onto the
+def _quantize(col: Column, lo: float, hi: float, bits: int, dtype: str = "") -> Column:
+    """Order-preserving map of a numeric/timestamp/date column onto the
     integer grid [0, 2^bits): clamp to the declared domain, scale, floor.
-    NULL quantizes to 0 (sorts first, like NULLS FIRST)."""
+    NULL quantizes to 0 (sorts first, like NULLS FIRST).
+
+    DATE columns need their own numeric bridge: Spark 4 rejects
+    ``cast(date as double)`` outright, so they go through ``unix_date``
+    (tz-independent days since 1970-01-01) — their declared domain is in
+    DAY units, while timestamps stay in epoch SECONDS (their ``double``
+    cast)."""
     levels = (1 << bits) - 1
-    v = F.coalesce(col.cast("double"), F.lit(float(lo)))
+    num = F.unix_date(col) if dtype == "date" else col
+    v = F.coalesce(num.cast("double"), F.lit(float(lo)))
     v = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
     q = F.floor((v - F.lit(float(lo))) * F.lit(levels / (float(hi) - float(lo))))
     return F.least(q.cast("long"), F.lit(int(levels)))
@@ -64,14 +71,21 @@ def zorder_key(zspec: dict) -> Column:
     {col: [lo, hi]}, "bits": b}`` — bit i of column j lands at key bit
     ``i * ncols + j``, so all columns' low bits interleave round-robin.
     Timestamp columns ride the same path via their epoch-seconds cast
-    (``cast("double")`` on a timestamp yields epoch seconds)."""
+    (``cast("double")`` on a timestamp yields epoch seconds); date
+    columns ride ``unix_date`` via the per-column ``types`` map the table
+    create path stamps into the spec (day-unit domains — see
+    ``_quantize``)."""
     cols = list(zspec["cols"])
     bits = int(zspec["bits"])
     domains = zspec["domains"]
+    types = zspec.get("types") or {}
     validate_zorder(cols, {c: tuple(domains[c]) for c in cols}, bits)
     k = len(cols)
     qs = [
-        _quantize(F.col(c), float(domains[c][0]), float(domains[c][1]), bits)
+        _quantize(
+            F.col(c), float(domains[c][0]), float(domains[c][1]), bits,
+            dtype=types.get(c, ""),
+        )
         for c in cols
     ]
     key = F.lit(0).cast("long")
@@ -85,12 +99,17 @@ def zorder_key(zspec: dict) -> Column:
 
 def zorder_key_py(values: "list", zspec: dict) -> int:
     """Pure-Python reference of ``zorder_key`` for one row (tests only)."""
+    import datetime as _dt
+
     cols, bits, domains = list(zspec["cols"]), int(zspec["bits"]), zspec["domains"]
     levels = (1 << bits) - 1
     key = 0
     for j, c in enumerate(cols):
         lo, hi = float(domains[c][0]), float(domains[c][1])
-        v = lo if values[j] is None else float(values[j])
+        raw = values[j]
+        if isinstance(raw, _dt.date) and not isinstance(raw, _dt.datetime):
+            raw = (raw - _dt.date(1970, 1, 1)).days  # mirrors unix_date
+        v = lo if raw is None else float(raw)
         v = min(max(v, lo), hi)
         q = min(int((v - lo) * (levels / (hi - lo))), levels)
         for i in range(bits):

@@ -8,9 +8,11 @@ Checks are metadata-shaped and bounded:
 * pointer + chain: `_LATEST` resolves, parses, and the parent chain walks
   to its root without missing descriptors;
 * manifests: every manifest segment of the checked snapshot parses, and
-  every data/change file it references EXISTS on storage (existence
-  probes fan out on a thread pool — object-store HEADs, O(live files),
-  the one intentionally file-proportional check);
+  every data AND changelog file it references EXISTS on storage
+  (existence probes fan out on a thread pool — object-store HEADs,
+  O(live files), the one intentionally file-proportional check; missing
+  changelog files get their own ``change_file_missing`` code since they
+  break read_changes / the streaming feed, not table reads);
 * entry invariants: `bucket < spec_nb`, live spec divisibility (every
   file's `spec_nb` divides the table's current `n_buckets` — the
   contract every bucket-pruning site relies on), non-negative row counts;
@@ -100,10 +102,18 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
             break
 
     # -- schema registry ------------------------------------------------ #
+    # the layout check needs the current schema's names; when the schema
+    # itself is unreadable (the corruption just reported), fsck must not
+    # die on it — "fsck reports, never raises" — so the names computation
+    # lives INSIDE the guarded branch and the layout check is skipped with
+    # an info finding instead
     sv = str(snap["schema_version"])
     if sv not in snap["schemas"]:
         rep.add("error", "schema_unregistered",
                 f"current schema_version {sv} missing from the registry")
+        rep.add("info", "layout_check_skipped",
+                "layout-properties check skipped: current schema is "
+                "unreadable (see schema_unregistered)")
     else:
         names = {f.name for f in table.user_schema(snap).fields}
         fids = (snap.get("field_ids") or {}).get(sv)
@@ -112,19 +122,18 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
                     f"field-id map covers {sorted(fids)} but schema has "
                     f"{sorted(names)}")
 
-    # -- layout properties ---------------------------------------------- #
-    names = {f.name for f in table.user_schema(snap).fields}
-    for prop, cols in (
-        ("sort_order", snap.get("sort_order") or []),
-        ("bloom_filter", (snap.get("bloom_filter") or {}).get("cols", [])),
-        ("zorder", (snap.get("zorder") or {}).get("cols", [])),
-    ):
-        dangling = [c for c in cols if c not in names]
-        if dangling:
-            rep.add("error", "layout_dangling",
-                    f"{prop} references missing column(s) {dangling} — the "
-                    "next write will fail; re-point or drop the property "
-                    "(tables written before the DDL/layout sync can carry this)")
+        # -- layout properties ------------------------------------------ #
+        for prop, cols in (
+            ("sort_order", snap.get("sort_order") or []),
+            ("bloom_filter", (snap.get("bloom_filter") or {}).get("cols", [])),
+            ("zorder", (snap.get("zorder") or {}).get("cols", [])),
+        ):
+            dangling = [c for c in cols if c not in names]
+            if dangling:
+                rep.add("error", "layout_dangling",
+                        f"{prop} references missing column(s) {dangling} — the "
+                        "next write will fail; re-point or drop the property "
+                        "(tables written before the DDL/layout sync can carry this)")
 
     # -- file entries ---------------------------------------------------- #
     try:
@@ -147,15 +156,26 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
         if int(e["rows"]) < 0:
             rep.add("error", "rows_negative", f"{e['path']}: rows {e['rows']}")
 
-    def probe(e: dict) -> "tuple[dict, bool]":
-        return e, fs.exists(os.path.join(table.root, e["path"]))
+    # change files are read paths too (read_changes, the streaming change
+    # feed): a vanished changelog file would pass a data-only probe clean
+    # and then break consumers at read time — probe them alongside, with a
+    # distinct finding code so the operator knows which surface breaks
+    change_entries = list(snap.get("change_files") or [])
 
-    with ThreadPoolExecutor(max_workers=min(16, max(1, len(entries)))) as pool:
-        for e, present in pool.map(probe, entries):
+    def probe(ek: "tuple[dict, str]") -> "tuple[dict, str, bool]":
+        e, code = ek
+        return e, code, fs.exists(os.path.join(table.root, e["path"]))
+
+    probes = [(e, "file_missing") for e in entries] + [
+        (e, "change_file_missing") for e in change_entries
+    ]
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(probes)))) as pool:
+        for e, code, present in pool.map(probe, probes):
             rep.files_checked += 1
             if not present:
-                rep.add("error", "file_missing",
-                        f"manifest references missing data file {e['path']}")
+                kind = "changelog" if code == "change_file_missing" else "data"
+                rep.add("error", code,
+                        f"manifest references missing {kind} file {e['path']}")
 
     # -- refs ------------------------------------------------------------ #
     refs = table._read_refs()
@@ -215,8 +235,9 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
                 "by no snapshot — crash leftovers or an in-flight commit; "
                 "expire_snapshots reclaims them after its grace window")
 
-    # -- deep: footer row counts ---------------------------------------- #
-    if deep and entries:
+    # -- deep: footer row counts (data + change files) ------------------- #
+    deep_entries = entries + change_entries
+    if deep and deep_entries:
         import pyarrow.parquet as pq
 
         def rows_of(e: dict) -> "tuple[dict, int | None]":
@@ -227,8 +248,8 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
             except Exception:  # noqa: BLE001 — missing already reported
                 return e, None
 
-        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as pool:
-            for e, n in pool.map(rows_of, entries):
+        with ThreadPoolExecutor(max_workers=min(16, len(deep_entries))) as pool:
+            for e, n in pool.map(rows_of, deep_entries):
                 if n is not None and n != int(e["rows"]):
                     rep.add("error", "rows_mismatch",
                             f"{e['path']}: manifest says {e['rows']} rows, "

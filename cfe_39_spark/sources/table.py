@@ -480,6 +480,10 @@ class SequenceTable:
                 "cols": list(zorder_cols),
                 "domains": {c: [float(zorder_domains[c][0]), float(zorder_domains[c][1])] for c in zorder_cols},
                 "bits": int(zorder_bits),
+                # per-column source types: DATE needs the unix_date bridge
+                # in zorder_key (Spark 4 rejects cast(date as double));
+                # date domains are declared in DAYS since 1970-01-01
+                "types": {c: ztypes[c] for c in zorder_cols},
             }
         elif zorder_domains is not None:
             raise ValueError("zorder_domains given without zorder_cols")
@@ -1916,6 +1920,15 @@ class SequenceTable:
                 "change_files": [],
                 "lineage": {"rollback_of": [s["snapshot_id"] for s in rolled]},
             }
+            # layout properties travel with the state being restored (like
+            # n_buckets/schema_version they come from TARGET, not parent):
+            # _commit_locked inherits layout from its parent, so omitting
+            # them here would silently strip sort/bloom/zorder from every
+            # commit after a rollback — and fsck could never flag it
+            # (nothing dangles, the props are just gone)
+            for prop in ("sort_order", "bloom_filter", "zorder"):
+                if target.get(prop):
+                    snap[prop] = target[prop]
             fs.write_json_atomic(self._snap_path(new_sid), snap)
             # log rewrite + pointer swap mutate shared state: abort first
             # if our lock was stale-broken (see commit())
@@ -2046,6 +2059,17 @@ class SequenceTable:
                         for c, v in z["domains"].items()
                         if c != dropped
                     },
+                    **(
+                        {
+                            "types": {
+                                renames.get(c, c): t
+                                for c, t in z["types"].items()
+                                if c != dropped
+                            }
+                        }
+                        if z.get("types")
+                        else {}
+                    ),
                 }
         return out
 

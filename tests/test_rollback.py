@@ -95,3 +95,45 @@ def test_rollback_rejects_non_ancestor(spark, tmp_path):
         t.read(spark),
         t.read(spark, snapshot_id=tip).toPandas(),
     )
+
+
+def test_rollback_preserves_layout_properties(spark, tmp_path):
+    """Layout props (sort_order/bloom/zorder) travel with the restored
+    state: before this fix the rollback snapshot carried none, and since
+    commits inherit layout from their PARENT, every commit after a
+    rollback silently lost them — invisible to fsck (nothing dangles)."""
+    from pyspark.sql import types as T
+
+    from cfe_39_spark.schema import SEQUENCE_FIELDS_V1
+
+    schema = T.StructType(
+        SEQUENCE_FIELDS_V1
+        + [T.StructField("x", T.DoubleType(), True),
+           T.StructField("y", T.DoubleType(), True)]
+    )
+    df = (
+        spark.range(64)
+        .withColumn("doc_id", F.format_string("d%05d", F.col("id")))
+        .withColumn("x", (F.col("id") % 8) / F.lit(8.0))
+        .withColumn("y", F.floor(F.col("id") / 8) / F.lit(8.0))
+        .withColumn("tokens", F.array((F.col("id") % 7).cast("int")))
+        .withColumn("n_tok", F.lit(1).cast("int"))
+        .withColumn("source", F.lit("g"))
+        .select("doc_id", "tokens", "n_tok", "source", "x", "y")
+    )
+    t = SequenceTable.create(
+        spark, str(tmp_path / "t"), df, n_buckets=2, user_schema=schema,
+        zorder_cols=["x", "y"], zorder_domains={"x": (0, 1), "y": (0, 1)},
+        bloom_filter_cols=["doc_id"],
+    )
+    target = t.latest_snapshot_id()
+    t.rebucket(spark, 4)
+    t.rollback(target)
+    snap = t.snapshot()
+    assert snap["zorder"]["cols"] == ["x", "y"], "rollback dropped zorder"
+    assert snap["bloom_filter"]["cols"] == ["doc_id"], "rollback dropped bloom"
+    # and the NEXT commit still carries them (inheritance chain intact)
+    t.rebucket(spark, 4)
+    snap = t.snapshot()
+    assert snap["zorder"]["cols"] == ["x", "y"]
+    assert snap["bloom_filter"]["cols"] == ["doc_id"]

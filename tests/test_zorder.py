@@ -240,3 +240,89 @@ def test_box_filter_pushed_to_scan_after_compaction(spark, tmp_path):
     for frag in ("GreaterThanOrEqual(x", "LessThanOrEqual(x",
                  "GreaterThanOrEqual(y", "LessThanOrEqual(y"):
         assert frag in pf, f"{frag} not pushed: {pf!r}"
+
+
+def test_date_zorder_column(spark, tmp_path):
+    """DATE z columns: Spark 4 rejects cast(date as double), so dates
+    bridge through unix_date (day-unit domains).  Covers create-with-data,
+    a subsequent write, key parity with the Python reference, and a date
+    box filter."""
+    import datetime as dt
+
+    schema = T.StructType(
+        SEQUENCE_FIELDS_V1
+        + [T.StructField("day", T.DateType(), True),
+           T.StructField("x", T.DoubleType(), True)]
+    )
+    base = dt.date(2024, 1, 1)
+    epoch_day0 = (base - dt.date(1970, 1, 1)).days
+    df = (
+        spark.range(256)
+        .withColumn("doc_id", F.format_string("d%05d", F.col("id")))
+        .withColumn("day", F.date_add(F.lit(base), (F.col("id") % 64).cast("int")))
+        .withColumn("x", (F.col("id") % 16) / F.lit(16.0))
+        .withColumn("tokens", F.array((F.col("id") % 7).cast("int")))
+        .withColumn("n_tok", F.lit(1).cast("int"))
+        .withColumn("source", F.lit("g"))
+        .orderBy(F.md5(F.col("doc_id")))
+        .select("doc_id", "tokens", "n_tok", "source", "day", "x")
+    )
+    t = SequenceTable.create(
+        spark, str(tmp_path / "t"), df, n_buckets=2, user_schema=schema,
+        zorder_cols=["day", "x"],
+        zorder_domains={"day": (epoch_day0, epoch_day0 + 64), "x": (0, 1)},
+        zorder_bits=6,
+    )
+    snap = t.snapshot()
+    assert snap["zorder"]["types"] == {"day": "date", "x": "double"}
+    # a later write must also succeed (the bug: create() validated, every
+    # write died on the cast)
+    t.rebucket(spark, 4)
+    # JVM key == Python reference on date inputs
+    zspec = t.snapshot()["zorder"]
+    got = (
+        t.read(spark)
+        .select("doc_id", "day", "x", zorder_key(zspec).alias("k"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r in got[:64]:
+        assert r["k"] == zorder_key_py([r["day"], r["x"]], zspec), r
+    # box filter on the date dimension stays exact
+    lo, hi = base + dt.timedelta(days=10), base + dt.timedelta(days=20)
+    want = df.filter(F.col("day").between(F.lit(lo), F.lit(hi))).count()
+    assert t.read(spark).filter(F.col("day").between(F.lit(lo), F.lit(hi))).count() == want > 0
+
+
+def test_date_zorder_rename_keeps_types(spark, tmp_path):
+    """Column DDL keeps the per-column types map in sync (a stale key
+    would silently fall back to the double cast and break writes)."""
+    import datetime as dt
+
+    schema = T.StructType(
+        SEQUENCE_FIELDS_V1
+        + [T.StructField("day", T.DateType(), True),
+           T.StructField("x", T.DoubleType(), True)]
+    )
+    base = dt.date(2024, 1, 1)
+    d0 = (base - dt.date(1970, 1, 1)).days
+    df = (
+        spark.range(32)
+        .withColumn("doc_id", F.format_string("d%05d", F.col("id")))
+        .withColumn("day", F.date_add(F.lit(base), (F.col("id") % 8).cast("int")))
+        .withColumn("x", (F.col("id") % 4) / F.lit(4.0))
+        .withColumn("tokens", F.array((F.col("id") % 7).cast("int")))
+        .withColumn("n_tok", F.lit(1).cast("int"))
+        .withColumn("source", F.lit("g"))
+        .select("doc_id", "tokens", "n_tok", "source", "day", "x")
+    )
+    t = SequenceTable.create(
+        spark, str(tmp_path / "t"), df, n_buckets=2, user_schema=schema,
+        zorder_cols=["day", "x"],
+        zorder_domains={"day": (d0, d0 + 8), "x": (0, 1)}, zorder_bits=4,
+    )
+    t.rename_column("day", "event_day")
+    z = t.snapshot()["zorder"]
+    assert z["cols"] == ["event_day", "x"]
+    assert z["types"] == {"event_day": "date", "x": "double"}
+    t.rebucket(spark, 4)  # write still succeeds against the renamed date z col
