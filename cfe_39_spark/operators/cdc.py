@@ -120,6 +120,35 @@ BCAST_KEY_BUDGET = int(os.environ.get("CFE39_BCAST_KEY_BUDGET", "2000000"))
 # feedback control the right shape there).
 _LAST_DISTINCT_KEYS: dict[str, int] = {}
 
+# bounded parent-walk depth when seeding the feedback map from committed
+# lineage at process start (maintenance commits — compaction, DDL,
+# rollback — sit between apply commits and carry no distinct_keys)
+_SEED_WALK_DEPTH = 8
+
+
+def _seed_last_distinct_keys(table: SequenceTable) -> "int | None":
+    """Process-start seed for the fused path's 'auto' guard: the last
+    committed apply lineage's ``distinct_keys`` (a bounded walk from the
+    tip — maintenance commits in between carry none).  Before this seed
+    existed, a restarted stream's FIRST fused trigger defaulted to
+    bcast_join with zero information, so one mis-sized trigger could blow
+    the very broadcast the budget guard exists to prevent; with no
+    committed observation either (fresh table), the caller must fall back
+    to max_by — correct at any key count, never OOM."""
+    try:
+        sid: "int | None" = table.latest_snapshot_id()
+        for _ in range(_SEED_WALK_DEPTH):
+            if sid is None:
+                return None
+            s = table.snapshot(sid)
+            dk = (s.get("lineage") or {}).get("distinct_keys")
+            if dk is not None:
+                return int(dk)
+            sid = s["parent_id"]
+    except Exception:  # noqa: BLE001 — a seed probe must never fail an apply
+        return None
+    return None
+
 
 def _lex_gt(b_et, b_off, b_sp, t_et, t_off, t_sp):
     """(b_et, b_off, b_sp) > (t_et, t_off, t_sp); null target => True (new
@@ -418,7 +447,16 @@ def apply_batch(
         strategy = lww_strategy
         if strategy == "auto":
             last = _LAST_DISTINCT_KEYS.get(table.root)
-            strategy = "bcast_join" if last is None or last <= budget else "max_by"
+            if last is None:
+                # process start / first trigger: seed from committed
+                # lineage; still nothing known (fresh table) -> max_by,
+                # the plan that is correct at ANY key count (the unfused
+                # path measures before deciding; the fused path must not
+                # gamble a broadcast on zero information)
+                last = _seed_last_distinct_keys(table)
+                if last is not None:
+                    _LAST_DISTINCT_KEYS[table.root] = last
+            strategy = "max_by" if last is None or last > budget else "bcast_join"
         parts_hint = sorted(set(known_partitions))
         obs_ev = Observation()
         events_obs = events.observe(
@@ -635,6 +673,10 @@ def apply_batch(
         "schema_changes": changes,
         "per_partition": per_partition,
         "wall_ms": wall_ms,
+        # last observed distinct-key count: seeds the fused path's 'auto'
+        # broadcast guard across process restarts (None when the strategy
+        # was forced, so no observation happened this batch)
+        "distinct_keys": _LAST_DISTINCT_KEYS.get(table.root),
     }
     # COW planned its rewrite against `snap`; a concurrent commit means the
     # merge itself is stale — fail loudly, caller redoes the batch
@@ -795,6 +837,8 @@ def _apply_mor(
         "schema_changes": [],
         "per_partition": per_partition,
         "wall_ms": wall_ms,
+        # see the COW lineage note: restart seed for the 'auto' guard
+        "distinct_keys": _LAST_DISTINCT_KEYS.get(table.root),
     }
     # Optimistic-concurrency commit loop: a MOR apply's delta files are
     # parent-independent, so a conflicting concurrent commit only requires

@@ -3,8 +3,10 @@ expressed over the driver's ``events`` table: each of the engine's hot-path
 operators (dedup, LWW, salting, idempotency filter, MERGE resolution,
 offset progress, windows) demonstrated as a standalone declarative plan the
 DuckDB oracle can replay.  The engine itself (table format + commit
-protocol) runs in ``cdc10_engine_replay`` with the rows-only check — its
-bit-for-bit verification lives in the pytest replay suite.
+protocol) runs in ``cdc10_engine_replay``, hash-checked against a
+committed golden parquet (the replay is deterministic: fixed fixture,
+fixed seed); its bit-for-bit verification also lives in the pytest replay
+suite, and tests/test_golden.py guards golden drift.
 
 Event mapping: user_id = key (doc_id), event_id = offset, ts = event_time,
 event_type 'error' = tombstone (op = D).
@@ -271,13 +273,29 @@ def cdc09(spark, sf):
     return sess.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
 
 
-@register("cdc10_engine_replay", None)
+# The flagship replay is deterministic (fixed fixture shape, seed 7), so
+# its expected final state is COMMITTED as a golden parquet and the
+# driver's rows+schema+hash oracle covers the engine's own MERGE pipeline
+# — not just the query packs (round-4 verdict top item).  The golden is
+# regenerated + asserted equal in tests/test_golden.py; regenerate with
+# `python tools/make_golden.py` after an intentional semantic change.
+_GOLDEN_CDC10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "cdc10_expected.parquet",
+)
+
+
+@register(
+    "cdc10_engine_replay",
+    f"""SELECT doc_id, n_tok, source, token_checksum
+       FROM read_parquet('{_GOLDEN_CDC10}')""",
+)
 def cdc10(spark, sf):
-    """The engine itself, end-to-end (rows-only check; bit-for-bit equality
-    vs the pandas oracle is pytest's job): deterministic fixture → create
+    """The engine itself, end-to-end: deterministic fixture → create
     table → apply every segment through the full C1-C8 pipeline → read the
     final snapshot.  Token arrays are reduced to JVM-side checksums so the
-    result schema is hash-stable."""
+    result schema is hash-stable.  The oracle is the committed golden
+    expected state (deterministic replay — see _GOLDEN_CDC10 note)."""
     from ..fixtures import GenConfig, write_fixture
     from ..functions.tokens import token_sum_expr
     from ..operators.cdc import apply_batch

@@ -104,9 +104,59 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("mm02_decode_features", None)
+# Every mm02 output column is deterministic byte math over the document
+# text, so the pandas kernels ARE oracle-checkable in pure SQL (round-4
+# verdict item 4):
+# * the decode stub's fake features derive from md5(payload) digest bytes
+#   — hex-digit arithmetic recovers them (strpos-based nibble parse);
+# * the U1 rolling fingerprint is a polynomial hash over UTF-8 bytes in
+#   uint64 wrap-around arithmetic — reproduced exactly with UHUGEINT
+#   (uint128) intermediates and explicit mod-2^64 reductions in a
+#   list_reduce fold whose accumulator packs (power, hash) as
+#   power*2^64 + hash (power = P^i mod 2^64 is never 0: P is odd).
+_U64 = "'18446744073709551616'::UHUGEINT"  # 2^64
+_FP_P = "'1099511628211'::UHUGEINT"  # the hash base (FNV prime)
+_NIBBLES = "0123456789abcdef"
+
+
+def _hexbyte(src: str, i: int) -> str:
+    """SQL for byte i (0-based) of a lowercase hex string column."""
+    return (
+        f"((strpos('{_NIBBLES}', substr({src}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + strpos('{_NIBBLES}', substr({src}, {2 * i + 2}, 1)) - 1)"
+    )
+
+
+_MM02_SQL = f"""WITH b AS (
+         SELECT doc_id, text, md5(text) AS mh,
+                lower(hex(encode(text))) AS hx,
+                octet_length(encode(text)) AS n
+         FROM documents)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n AS BIGINT) AS n_bytes,
+              CAST(64 + {_hexbyte('mh', 0)} % 192 AS INT) AS width,
+              CAST(64 + {_hexbyte('mh', 1)} % 192 AS INT) AS height,
+              CAST(3 AS INT) AS channels,
+              ROUND({_hexbyte('mh', 2)} / 255.0, 6) AS mean_luma,
+              CASE WHEN text IS NULL THEN NULL ELSE CAST((
+                SELECT CASE WHEN h >= '9223372036854775808'::UHUGEINT
+                            THEN h::HUGEINT - {_U64}::HUGEINT
+                            ELSE h::HUGEINT END
+                FROM (SELECT list_reduce(
+                        list_prepend({_U64},
+                          list_transform(range(1, n + 1), i ->
+                            CAST({_hexbyte('hx', 0).replace('1, 1', '2*i-1, 1').replace('2, 1', '2*i, 1')} AS UHUGEINT))),
+                        (acc, x) ->
+                          ((acc // {_U64}) * {_FP_P} % {_U64}) * {_U64}
+                          + ((acc % {_U64}) + x * (acc // {_U64})) % {_U64}
+                      ) % {_U64} AS h)
+              ) AS BIGINT) END AS rolling_fp
+       FROM b"""
+
+
+@register("mm02_decode_features", _MM02_SQL)
 def mm02(spark, sf):
-    """The registry's two pandas-kernel surfaces in one rows-only query:
+    """The registry's two pandas-kernel surfaces in one query:
 
     * U3 ``mapInPandas``: binary → feature extraction through the
       production plumbing (Arrow batches, repartitioned so decode
@@ -117,8 +167,10 @@ def mm02(spark, sf):
       UTF-8 bytes), computed on the text before it is encoded and carried
       through the decode batch untouched.
 
-    Both kernels are engine-private hash/stub math, hence no SQL oracle;
-    determinism is covered by unit tests."""
+    Both kernels are deterministic byte math, so since round 5 the
+    driver's rows+schema+hash oracle covers them too: the stub features
+    are recomputed from md5 digest bytes and the fingerprint from an
+    exact uint64 polynomial-hash reproduction in SQL (see _MM02_SQL)."""
     from .textops import _rolling_fp
 
     d = table(spark, sf, "documents")

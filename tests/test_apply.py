@@ -251,7 +251,10 @@ def test_auto_lww_strategy_guards_broadcast(spark, tmp_path):
     assert used == ["bcast_join", "bcast_join"], used
     assert_state_equal(t2.read(spark), fx["expected"])
 
-    # fused path (hint): first trigger optimistic, second sees feedback
+    # fused path (hint): trigger 0 has no observation and no committed
+    # lineage -> conservative max_by (round-4 finding: the old optimistic
+    # bcast_join default could blow the broadcast the guard exists to
+    # prevent); trigger 1 sees trigger 0's observed count, stays max_by
     t3 = SequenceTable.create(spark, str(tmp_path / "t3"), init, n_buckets=4)
     hint = list(range(cfg.n_partitions))
     used = [
@@ -260,5 +263,66 @@ def test_auto_lww_strategy_guards_broadcast(spark, tmp_path):
                     bcast_key_budget=5).lww_strategy_used
         for i, s in enumerate(segs)
     ]
-    assert used == ["bcast_join", "max_by"], used
+    assert used == ["max_by", "max_by"], used
     assert_state_equal(t3.read(spark), fx["expected"])
+
+    # fused path, roomy budget: trigger 0 still conservative (fresh table,
+    # nothing committed), trigger 1 upgrades to bcast_join from feedback
+    t4 = SequenceTable.create(spark, str(tmp_path / "t4"), init, n_buckets=4)
+    used = [
+        apply_batch(spark, t4, spark.read.parquet(s), batch_id=i,
+                    known_partitions=hint,
+                    bcast_key_budget=10**6).lww_strategy_used
+        for i, s in enumerate(segs)
+    ]
+    assert used == ["max_by", "bcast_join"], used
+    assert_state_equal(t4.read(spark), fx["expected"])
+
+
+def test_auto_lww_first_trigger_seeds_from_lineage(spark, tmp_path):
+    """Process-restart half of the fused 'auto' guard (VERDICT r4 #3): the
+    first trigger of a NEW process seeds its broadcast decision from the
+    last committed lineage's distinct_keys instead of defaulting to
+    bcast_join on zero information — and a fresh table with an all-new-key
+    first batch picks max_by."""
+    import glob
+
+    from cfe_39_spark.operators.cdc import _LAST_DISTINCT_KEYS
+
+    cfg = GenConfig(n_docs_initial=50, n_events=400, n_segments=3, seed=47)
+    fx = write_fixture(str(tmp_path / "fx"), cfg)
+    init = spark.read.parquet(str(tmp_path / "fx" / "initial.parquet"))
+    segs = sorted(glob.glob(str(tmp_path / "fx" / "segments" / "*.parquet")))
+    hint = list(range(cfg.n_partitions))
+
+    t = SequenceTable.create(spark, str(tmp_path / "t"), init, n_buckets=4)
+    _LAST_DISTINCT_KEYS.pop(t.root, None)  # fresh process, fresh table
+    r0 = apply_batch(spark, t, spark.read.parquet(segs[0]), batch_id=0,
+                     known_partitions=hint, bcast_key_budget=10**6)
+    assert r0.lww_strategy_used == "max_by"  # nothing known anywhere
+    # the observation is now COMMITTED in lineage
+    assert t.snapshot()["lineage"]["distinct_keys"] > 0
+
+    # simulate a process restart: in-memory feedback gone, lineage present
+    _LAST_DISTINCT_KEYS.pop(t.root, None)
+    r1 = apply_batch(spark, t, spark.read.parquet(segs[1]), batch_id=1,
+                     known_partitions=hint, bcast_key_budget=10**6)
+    assert r1.lww_strategy_used == "bcast_join"  # seeded from lineage
+
+    # restart again with a TIGHT budget: the committed count exceeds it,
+    # so the seed must push the first trigger to max_by
+    _LAST_DISTINCT_KEYS.pop(t.root, None)
+    r2 = apply_batch(spark, t, spark.read.parquet(segs[2]), batch_id=2,
+                     known_partitions=hint, bcast_key_budget=5)
+    assert r2.lww_strategy_used == "max_by"
+    assert_state_equal(t.read(spark), fx["expected"])
+
+    # the seed walk crosses maintenance commits (no distinct_keys in their
+    # lineage): rebucket, restart, apply -> still seeded, still bcast_join
+    t.rebucket(spark, 8)
+    _LAST_DISTINCT_KEYS.pop(t.root, None)
+    segs_again = segs[0]
+    r3 = apply_batch(spark, t, spark.read.parquet(segs_again), batch_id="redo-0",
+                     known_partitions=hint, bcast_key_budget=10**6)
+    assert r3.lww_strategy_used == "bcast_join"
+    assert_state_equal(t.read(spark), fx["expected"])
