@@ -25,16 +25,33 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
+    from cfe_39_spark.queries.base import table
+    from cfe_39_spark.queries.similarity import _ivf_topk
+
     truth = _pairs(spark, "sim01_cosine_topk")
-    got = _pairs(spark, "sim04_ivf_topk")
+    e = table(spark, SF, "embeddings")
+    got = {(r["query_id"], r["neighbor_id"]) for r in _ivf_topk(spark, e).collect()}
     recall = len(truth & got) / len(truth)
     # bounded-sample numpy trainer (Lloyd to fixpoint, farthest-point
-    # seeding) on 500 near-isotropic synthetic 64-d vectors with nprobe=3
-    # of 8 cells: measured 0.733, deterministically (no RNG anywhere —
-    # hash-gated sample, fixpoint Lloyd, rounding pinned); the 3-round
-    # distributed trainer measured 0.6; random cell choice would give
-    # ~nprobe/N_CELLS = 0.375.  0.7 is the regression floor.
+    # seeding) on 500 near-isotropic synthetic 64-d vectors, sqrt-scaled
+    # quantizer (ivf_params: 11 cells / 4 probes here): measured 0.733,
+    # deterministically (no RNG anywhere — hash-gated sample, fixpoint
+    # Lloyd, rounding pinned); random cell choice would give
+    # ~PROBE_FRACTION = 0.35.  0.7 is the regression floor.
     assert recall >= 0.7, f"sim04 recall {recall:.2f} < 0.7"
+
+
+def test_ivf_registered_recall_report(spark):
+    """The registered sim04 result is the self-verifying recall report
+    the DuckDB oracle hash-checks: every query found >= 1/3 of its exact
+    neighbors, corpus mean >= 0.6, one row per standard query."""
+    from cfe_39_spark.queries import REGISTRY
+
+    rows = REGISTRY["sim04_ivf_topk"].fn(spark, SF).collect()
+    assert len(rows) == 10  # 500 vectors / 50
+    assert all(r["n_exact"] == 3 for r in rows)
+    assert all(r["recall_ok"] for r in rows)
+    assert all(r["corpus_recall_ok"] for r in rows)
 
 
 def test_ivf_oversized_cell_split(spark):
