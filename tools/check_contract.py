@@ -3,6 +3,11 @@ on Spark AND its DuckDB oracle at sf0.01, compare row count, column names
 and order-insensitive values.  Usage:
 
     python tools/check_contract.py [name-prefix ...]
+
+Wall-clock budgeted (CFE39_CONTRACT_BUDGET_S, default 1500): queries run
+in registry order; once the budget is spent, the remaining names are
+reported as SKIPPED (exit stays 0 if nothing failed) — the tool can never
+eat an entire driver window the way an unbudgeted loop could.
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ import sys
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
 
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -40,8 +47,14 @@ def main(prefixes: list[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     failures = 0
+    budget_s = float(os.environ.get("CFE39_CONTRACT_BUDGET_S", "1500"))
+    t_start = time.monotonic()
+    skipped = []
     for name, q in sorted(REGISTRY.items()):
         if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        if time.monotonic() - t_start > budget_s:
+            skipped.append(name)
             continue
         try:
             sdf = q.fn(spark, SF_DIR).toPandas()
@@ -96,7 +109,10 @@ def main(prefixes: list[str]) -> int:
             failures += 1
         else:
             print(f"ok   {name}: {len(sdf)} rows match")
-    print(f"\n{failures} failures / {len(REGISTRY)} registered")
+    if skipped:
+        print(f"SKIPPED (budget {budget_s:.0f}s spent): {', '.join(skipped)}")
+    print(f"\n{failures} failures / {len(REGISTRY)} registered"
+          + (f" ({len(skipped)} skipped by budget)" if skipped else ""))
     return 1 if failures else 0
 
 

@@ -61,48 +61,90 @@ def gen(path: str, n: int, segs: int) -> None:
         raise RuntimeError(f"gen failed:\n{r.stderr[-2000:]}")
 
 
-def run_one(log_dir: str) -> float:
+def run_one(log_dir: str, segs_limit: int = 0) -> "tuple[float, list]":
     script = os.path.join(ROOT, "tools", "scaling_bench.py")
+    env = dict(os.environ, CFE39_SWEEP_FILESTATS="1")
+    if segs_limit:
+        env["CFE39_SEGS_LIMIT"] = str(segs_limit)
     out = subprocess.run(
         [sys.executable, script, f"local[{CPUS}]", log_dir]
         + ([FAST_DIR] if FAST_DIR else []),
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
+    wall, files = None, []
     for line in out.stdout.splitlines():
         if line.startswith("WALL "):
-            return float(line.split()[1])
-    raise RuntimeError(f"replay failed:\n{out.stderr[-2000:]}")
+            wall = float(line.split()[1])
+        elif line.startswith("FILES "):
+            files = json.loads(line[6:])
+    if wall is None:
+        raise RuntimeError(f"replay failed:\n{out.stderr[-2000:]}")
+    return wall, files
 
 
 def main() -> None:
     sizes = [int(a) * 1_000_000 for a in sys.argv[1:]] or [4_000_000, 12_000_000, 24_000_000]
+    # prefix mode (CFE39_SWEEP_PREFIX=1): generate ONE log at max(sizes)
+    # and replay segment PREFIXES for the smaller points — byte-identical
+    # inputs per prefix (segments are generated independently per index),
+    # one generation instead of len(sizes), peak scratch unchanged
+    prefix_mode = bool(os.environ.get("CFE39_SWEEP_PREFIX"))
     sweep = []
-    for n in sizes:
-        segs = max(1, n // SEG_EVENTS)
-        d = tempfile.mkdtemp(prefix="cfe39-sweep-", dir=FAST_DIR)
-        log_dir = os.path.join(d, "log")
-        try:
-            t0 = time.monotonic()
-            gen(log_dir, n, segs)
-            print(f"# gen {n} events / {segs} segs: {time.monotonic()-t0:.0f}s",
-                  file=sys.stderr, flush=True)
-            walls = []
+    shared_dir = None
+    if prefix_mode:
+        shared_dir = tempfile.mkdtemp(prefix="cfe39-sweep-", dir=FAST_DIR)
+        n_max = max(sizes)
+        t0 = time.monotonic()
+        gen(os.path.join(shared_dir, "log"), n_max, n_max // SEG_EVENTS)
+        print(f"# gen {n_max} events (shared, prefix mode): "
+              f"{time.monotonic()-t0:.0f}s", file=sys.stderr, flush=True)
+    try:
+        for n in sizes:
+            segs = max(1, n // SEG_EVENTS)
+            if prefix_mode:
+                d, log_dir = None, os.path.join(shared_dir, "log")
+            else:
+                d = tempfile.mkdtemp(prefix="cfe39-sweep-", dir=FAST_DIR)
+                log_dir = os.path.join(d, "log")
+                t0 = time.monotonic()
+                gen(log_dir, n, segs)
+                print(f"# gen {n} events / {segs} segs: {time.monotonic()-t0:.0f}s",
+                      file=sys.stderr, flush=True)
+            walls, files = [], []
             for r in range(REPS):
-                walls.append(run_one(log_dir))
+                w, files = run_one(log_dir, segs_limit=segs if prefix_mode else 0)
+                walls.append(w)
                 print(f"# {n} rep{r}: {walls[-1]:.1f}s "
                       f"({n/walls[-1]/1000:.0f}k ev/s)", file=sys.stderr, flush=True)
             wmed = sorted(walls)[len(walls) // 2] if len(walls) % 2 else (
                 sum(sorted(walls)[len(walls)//2-1:len(walls)//2+1]) / 2)
-            sweep.append({
+            # read-amplification summary: deltas a reader must merge,
+            # at its per-trigger max and at end-of-replay; file counts at
+            # the last APPLY trigger (compaction commits reset the series)
+            applies = [f for f in files if not str(f["batch_id"]).startswith("__")]
+            point = {
                 "n_events": n, "segments": segs,
                 "walls": [round(w, 2) for w in walls],
                 "median_wall_sec": round(wmed, 2),
                 "events_per_sec": round(n / wmed, 1),
-            })
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
+            }
+            if applies:
+                point["files_per_trigger"] = [f["n_files"] for f in applies]
+                point["delta_per_trigger"] = [f["n_delta"] for f in applies]
+                point["max_outstanding_delta"] = max(f["n_delta"] for f in applies)
+                point["final_files"] = files[-1]["n_files"]
+                point["n_compactions"] = sum(
+                    1 for f in files if str(f["batch_id"]).startswith("__compact")
+                )
+            sweep.append(point)
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
+    finally:
+        if shared_dir is not None:
+            shutil.rmtree(shared_dir, ignore_errors=True)
     print(json.dumps({"master": f"local[{CPUS}]", "seg_events": SEG_EVENTS,
-                      "n_docs": N_DOCS, "sweep": sweep}), flush=True)
+                      "n_docs": N_DOCS,
+                      "prefix_mode": prefix_mode, "sweep": sweep}), flush=True)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,9 @@ def main() -> None:
     log_dir = sys.argv[2]
     parent = sys.argv[3] if len(sys.argv) > 3 else None
     segs = sorted(glob.glob(os.path.join(log_dir, "seg-*")))
+    limit = int(os.environ.get("CFE39_SEGS_LIMIT", "0"))
+    if limit:
+        segs = segs[:limit]
     d = tempfile.mkdtemp(prefix="cfe39-scale-", dir=parent)
     spark = get_spark(master=master, app_name=f"cdc-scale-{master}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,6 +50,25 @@ def main() -> None:
             apply_batch(spark, t, spark.read.parquet(seg), batch_id=i,
                         known_partitions=parts)
         print(f"WALL {time.monotonic() - t0:.2f}", flush=True)
+        if os.environ.get("CFE39_SWEEP_FILESTATS"):
+            # read-amplification series, measured AFTER the wall clock
+            # stops (metadata-only chain walk, no timing pollution): for
+            # every committed snapshot, live file count and outstanding
+            # delta files — the number a reader must LWW-merge.  A flat
+            # trend across auto-compaction crossings is the "no O(state)
+            # read-amplification term" evidence for BENCH.md §4.
+            import json as _json
+
+            series = []
+            for s in reversed(t.committed_chain()):
+                entries = s["files"]
+                n_delta = sum(1 for e in entries if e.get("kind") == "delta")
+                series.append({
+                    "batch_id": s["batch_id"],
+                    "n_files": len(entries),
+                    "n_delta": n_delta,
+                })
+            print("FILES " + _json.dumps(series), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.stop()
