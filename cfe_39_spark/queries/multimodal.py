@@ -119,11 +119,14 @@ _FP_P = "'1099511628211'::UHUGEINT"  # the hash base (FNV prime)
 _NIBBLES = "0123456789abcdef"
 
 
-def _hexbyte(src: str, i: int) -> str:
-    """SQL for byte i (0-based) of a lowercase hex string column."""
+def _hexbyte(src: str, i: int = None, pos: "tuple[str, str]" = None) -> str:
+    """SQL for one byte of a lowercase hex string column: a fixed 0-based
+    byte index ``i``, or explicit 1-based char-position SQL expressions
+    ``pos=(hi_char, lo_char)`` for use inside a lambda."""
+    hi, lo = (str(2 * i + 1), str(2 * i + 2)) if pos is None else pos
     return (
-        f"((strpos('{_NIBBLES}', substr({src}, {2 * i + 1}, 1)) - 1) * 16"
-        f" + strpos('{_NIBBLES}', substr({src}, {2 * i + 2}, 1)) - 1)"
+        f"((strpos('{_NIBBLES}', substr({src}, {hi}, 1)) - 1) * 16"
+        f" + strpos('{_NIBBLES}', substr({src}, {lo}, 1)) - 1)"
     )
 
 
@@ -145,7 +148,7 @@ _MM02_SQL = f"""WITH b AS (
                 FROM (SELECT list_reduce(
                         list_prepend({_U64},
                           list_transform(range(1, n + 1), i ->
-                            CAST({_hexbyte('hx', 0).replace('1, 1', '2*i-1, 1').replace('2, 1', '2*i, 1')} AS UHUGEINT))),
+                            CAST({_hexbyte('hx', pos=('2*i-1', '2*i'))} AS UHUGEINT))),
                         (acc, x) ->
                           ((acc // {_U64}) * {_FP_P} % {_U64}) * {_U64}
                           + ((acc % {_U64}) + x * (acc // {_U64})) % {_U64}
