@@ -451,9 +451,23 @@ def gen_bench_log_spark(
             + F.make_interval(secs=base + F.pmod(h(7), F.lit(1000)) / 1000.0)
         ).alias("event_time"),
     )
-    for s in range(n_segments):
+    def _write_seg(s: int) -> None:
         lo_i = s * per_seg
         hi_i = (s + 1) * per_seg if s < n_segments - 1 else n_events
         df.filter((F.col("offset") >= lo_i) & (F.col("offset") < hi_i)).write.parquet(
             os.path.join(out_dir, f"seg-{s:05d}"), mode="overwrite"
         )
+
+    # concurrent segment jobs (CFE39_GEN_PAR) overlap one job's write/IO
+    # tail with the next one's compute — segments are independent output
+    # dirs, so this is pure scheduler pipelining; content is unchanged
+    # (every column is a pure function of the event index)
+    par = int(os.environ.get("CFE39_GEN_PAR", "1"))
+    if par > 1 and n_segments > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(par, n_segments)) as pool:
+            list(pool.map(_write_seg, range(n_segments)))
+    else:
+        for s in range(n_segments):
+            _write_seg(s)

@@ -55,8 +55,10 @@ def gen(path: str, n: int, segs: int) -> None:
         f"gen_bench_log_spark(s, {path!r}, {n}, {N_DOCS}, "
         f"n_segments={segs}, mean_len=256, seed={SEED}, key_dist='uniform')"
     )
+    env = dict(os.environ)
+    env.setdefault("CFE39_GEN_PAR", "4")
     r = subprocess.run([sys.executable, "-c", code],
-                       capture_output=True, text=True, timeout=1800)
+                       capture_output=True, text=True, timeout=7200, env=env)
     if r.returncode != 0:
         raise RuntimeError(f"gen failed:\n{r.stderr[-2000:]}")
 
