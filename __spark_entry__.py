@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; non-SQL-expressible ops (engine
-    replay, pandas-UDF kernels, map output) are omitted → rows-only check."""
+    """DuckDB-equivalent SQL per query — since round 5 EVERY registered
+    query carries one (the engine replay hash-checks against a committed
+    golden parquet; the pandas kernels against exact SQL reproductions of
+    their byte math; the IVF ANN against its embedded recall report)."""
     return {name: q.sql for name, q in sorted(REGISTRY.items()) if q.sql is not None}

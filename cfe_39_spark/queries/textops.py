@@ -4,7 +4,8 @@ each oracle-checked over the ``documents`` table.
 
 All hot-path expressions are JVM built-ins (split/regexp/md5/windows);
 the one pandas-UDF variant (rolling-hash fingerprint) demonstrates the
-Arrow path and is rows-only checked.
+Arrow path and — since round 5 — is fully oracled too, via mm02's exact
+UHUGEINT reproduction of the uint64 polynomial hash in DuckDB.
 """
 
 from __future__ import annotations
