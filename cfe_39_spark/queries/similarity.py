@@ -555,10 +555,18 @@ def sim04(spark, sf):
     plan, and the output asserts per query that at least a third of the
     true neighbors were found (measured min across sf0.001/0.01/0.1:
     exactly 1/3, deterministic — no RNG anywhere in the trainer) and
-    corpus-wide that mean recall >= 0.6 (measured 0.73-0.88).  The oracle
+    corpus-wide that mean recall >= 0.6 (measured 0.80-1.0).  The oracle
     states both as constants, so the driver's hash check fails iff the
-    ANN misses its floors.  Raw neighbor rows: ``_ivf_topk`` (unit
-    tests assert on them directly).
+    ANN misses its floors.  Raw neighbor rows: ``_ivf_topk`` (unit tests
+    assert on them directly).
+
+    Cost note: the embedded verifier brute-forces the STANDARD QUERY SET
+    (vec_id%50 — a 2% sample of the corpus), so the registered query's
+    cost is IVF plus |sample|x|corpus| exact pairs; the ANN's
+    PROBE_FRACTION saving applies to the serving path (``_ivf_topk``),
+    while this registered form is the monitoring job a production
+    deployment runs alongside it — at 10^9+ the monitor shrinks its
+    query sample (the dial is the %50 gate), it does not disappear.
 
     Training uses the bounded-sample driver-side trainer
     (``_train_centroids_sample`` — FAISS practice; the quantizer needs a

@@ -12,7 +12,9 @@ Checks are metadata-shaped and bounded:
   (existence probes fan out on a thread pool — object-store HEADs,
   O(live files), the one intentionally file-proportional check; missing
   changelog files get their own ``change_file_missing`` code since they
-  break read_changes / the streaming feed, not table reads);
+  break read_changes / the streaming feed, not table reads — and because
+  read_changes serves the whole RETAINED span, every retained snapshot's
+  change files are probed, not just the tip's);
 * entry invariants: `bucket < spec_nb`, live spec divisibility (every
   file's `spec_nb` divides the table's current `n_buckets` — the
   contract every bucket-pruning site relies on), non-negative row counts;
@@ -203,18 +205,41 @@ def check_table(table: SequenceTable, deep: bool = False) -> FsckReport:
     # in-flight commit that staged before taking the lock — report it,
     # never touch it (the expiry GC owns deletion, with its grace window)
     referenced: set[str] = set()
+    # historical change files ride this same walk: read_changes serves
+    # the WHOLE retained snapshot span, so a changelog file lost from any
+    # older snapshot breaks the change feed even when the tip is clean —
+    # collect every retained snapshot's change entries for the probe below
+    hist_change: dict[str, int] = {}
     for f in fs.listdir(table.meta_dir):
         if not f.startswith("snap-"):
             continue
         try:
-            s = table.snapshot(int(f[5:-5]))
+            hsid = int(f[5:-5])
+            s = table.snapshot(hsid)
             for e in s["files"] + (s.get("change_files") or []):
                 referenced.add(
                     os.path.dirname(os.path.dirname(
                         os.path.join(table.root, e["path"])))
                 )
+            for e in s.get("change_files") or []:
+                hist_change.setdefault(e["path"], hsid)
         except Exception:  # noqa: BLE001 — unreadable snaps already reported
             continue
+    probed = {e["path"] for e in change_entries}
+    hist_probes = sorted(p for p in hist_change if p not in probed)
+
+    def probe_hist(pth: str) -> "tuple[str, bool]":
+        return pth, fs.exists(os.path.join(table.root, pth))
+
+    if hist_probes:
+        with ThreadPoolExecutor(max_workers=min(16, len(hist_probes))) as pool:
+            for pth, present in pool.map(probe_hist, hist_probes):
+                rep.files_checked += 1
+                if not present:
+                    rep.add("error", "change_file_missing",
+                            f"snapshot {hist_change[pth]} references missing "
+                            f"changelog file {pth} — read_changes / the "
+                            "streaming change feed break on this span")
     orphans, orphan_bytes = 0, 0
     try:
         data_dirs = fs.listdir(table.data_dir)

@@ -247,3 +247,20 @@ def test_deep_change_file_rows_mismatch_detected(spark, tmp_path):
     assert check_table(t, deep=False).ok
     rep = check_table(t, deep=True)
     assert "rows_mismatch" in _codes(rep)
+
+
+def test_missing_historical_change_file_detected(spark, tmp_path):
+    """read_changes serves the whole retained span, so a changelog file
+    lost from an OLDER snapshot must be flagged even when the tip's own
+    change files are intact."""
+    from cfe_39_spark.operators.cdc import apply_batch
+
+    t = _mk(spark, tmp_path)
+    apply_batch(spark, t, _events(spark), batch_id="b1", mode="cow")
+    old_chg = (t.snapshot().get("change_files") or [])[0]["path"]
+    ev2 = _events(spark).withColumn("offset", F.col("offset") + 100)
+    apply_batch(spark, t, ev2, batch_id="b2", mode="cow")
+    assert (t.snapshot().get("change_files") or []), "tip has change files"
+    os.unlink(os.path.join(t.root, old_chg))
+    rep = check_table(t)
+    assert "change_file_missing" in _codes(rep)

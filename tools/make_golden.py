@@ -30,8 +30,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     df = REGISTRY["cdc10_engine_replay"].fn(spark, "/root/testdata/sf0.001")
     d = tempfile.mkdtemp(prefix="cfe39-golden-")
-    df.coalesce(1).orderBy("doc_id").write.mode("overwrite").parquet(f"{d}/g")
-    part = glob.glob(f"{d}/g/part-*.parquet")[0]
+    # repartition(1) AFTER any upstream shape: exactly one part file, so
+    # the copy below cannot silently truncate the golden (row order is
+    # irrelevant — the driver's compare and test_golden both sort)
+    df.repartition(1).write.mode("overwrite").parquet(f"{d}/g")
+    parts = glob.glob(f"{d}/g/part-*.parquet")
+    assert len(parts) == 1, f"expected exactly one part file, got {parts}"
+    part = parts[0]
     os.makedirs(os.path.dirname(_GOLDEN_CDC10), exist_ok=True)
     shutil.copy(part, _GOLDEN_CDC10)
     shutil.rmtree(d, ignore_errors=True)

@@ -94,10 +94,16 @@ def main() -> None:
     sweep = []
     shared_dir = None
     if prefix_mode:
+        # a prefix IS its recorded size only when every size is a whole
+        # number of fixed-size segments — refuse the silent mismatch
+        bad = [n for n in sizes if n % SEG_EVENTS]
+        if bad:
+            raise SystemExit(
+                f"prefix mode needs sizes in multiples of {SEG_EVENTS}: {bad}")
         shared_dir = tempfile.mkdtemp(prefix="cfe39-sweep-", dir=FAST_DIR)
         n_max = max(sizes)
         t0 = time.monotonic()
-        gen(os.path.join(shared_dir, "log"), n_max, n_max // SEG_EVENTS)
+        gen(os.path.join(shared_dir, "log"), n_max, max(1, n_max // SEG_EVENTS))
         print(f"# gen {n_max} events (shared, prefix mode): "
               f"{time.monotonic()-t0:.0f}s", file=sys.stderr, flush=True)
     try:
@@ -108,16 +114,24 @@ def main() -> None:
             else:
                 d = tempfile.mkdtemp(prefix="cfe39-sweep-", dir=FAST_DIR)
                 log_dir = os.path.join(d, "log")
-                t0 = time.monotonic()
-                gen(log_dir, n, segs)
-                print(f"# gen {n} events / {segs} segs: {time.monotonic()-t0:.0f}s",
-                      file=sys.stderr, flush=True)
-            walls, files = [], []
-            for r in range(REPS):
-                w, files = run_one(log_dir, segs_limit=segs if prefix_mode else 0)
-                walls.append(w)
-                print(f"# {n} rep{r}: {walls[-1]:.1f}s "
-                      f"({n/walls[-1]/1000:.0f}k ev/s)", file=sys.stderr, flush=True)
+            try:
+                if not prefix_mode:
+                    t0 = time.monotonic()
+                    gen(log_dir, n, segs)
+                    print(f"# gen {n} events / {segs} segs: "
+                          f"{time.monotonic()-t0:.0f}s",
+                          file=sys.stderr, flush=True)
+                walls, files = [], []
+                for r in range(REPS):
+                    w, files = run_one(log_dir, segs_limit=segs if prefix_mode else 0)
+                    walls.append(w)
+                    print(f"# {n} rep{r}: {walls[-1]:.1f}s "
+                          f"({n/walls[-1]/1000:.0f}k ev/s)",
+                          file=sys.stderr, flush=True)
+            finally:
+                # a failed gen/replay must not leak a tens-of-GB tmpfs dir
+                if d is not None:
+                    shutil.rmtree(d, ignore_errors=True)
             wmed = sorted(walls)[len(walls) // 2] if len(walls) % 2 else (
                 sum(sorted(walls)[len(walls)//2-1:len(walls)//2+1]) / 2)
             # read-amplification summary: deltas a reader must merge,
@@ -139,8 +153,6 @@ def main() -> None:
                     1 for f in files if str(f["batch_id"]).startswith("__compact")
                 )
             sweep.append(point)
-            if d is not None:
-                shutil.rmtree(d, ignore_errors=True)
     finally:
         if shared_dir is not None:
             shutil.rmtree(shared_dir, ignore_errors=True)
